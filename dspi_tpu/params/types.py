@@ -1,0 +1,200 @@
+"""User-facing configuration model of the DSP chain.
+
+Mirrors the firmware's control-plane state one-to-one (config.h structs,
+usb_audio.c globals) so that presets, bulk transfers and vendor requests
+round-trip losslessly.  Everything here is plain Python; the device-side
+coefficient arrays are derived in :mod:`dspi_tpu.params.design`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+from ..core.constants import (
+    CENTER_VOLUME_INDEX,
+    CH_OUT_1,
+    CROSSFEED_PRESET_CUSTOM,
+    DEFAULT_BAND_COUNT,
+    LEVELLER_DEFAULTS,
+    MASTER_VOL_DEFAULT_DB,
+    MAX_BANDS,
+    NUM_CHANNELS,
+    NUM_INPUT_CHANNELS,
+    NUM_OUTPUT_CHANNELS,
+    FilterType,
+    Platform,
+)
+
+
+@dataclass
+class EqBand:
+    """One PEQ band recipe (EqParamPacket, config.h:445-453)."""
+
+    type: FilterType = FilterType.FLAT
+    freq: float = 1000.0
+    q: float = 0.707
+    gain_db: float = 0.0
+
+
+@dataclass
+class Crosspoint:
+    """Matrix mixer crosspoint (MatrixCrosspoint, config.h:383-389)."""
+
+    enabled: bool = False
+    phase_invert: bool = False
+    gain_db: float = 0.0
+
+
+@dataclass
+class OutputChannel:
+    """Per-output state (OutputChannel, config.h:392-400)."""
+
+    enabled: bool = False
+    mute: bool = False
+    gain_db: float = 0.0
+    delay_ms: float = 0.0
+
+
+@dataclass
+class CrossfeedConfig:
+    """BS2B crossfeed config (crossfeed.h:26-32; defaults usb_audio.c:187-193)."""
+
+    enabled: bool = False
+    itd_enabled: bool = True
+    preset: int = 0                    # 0..2 presets, 3 = custom
+    custom_fc: float = 700.0
+    custom_feed_db: float = 4.5
+
+
+@dataclass
+class LevellerConfig:
+    """Volume leveller config (leveller.h:59-66, defaults leveller.h:69-74)."""
+
+    enabled: bool = LEVELLER_DEFAULTS["enabled"]
+    amount: float = LEVELLER_DEFAULTS["amount"]
+    speed: int = LEVELLER_DEFAULTS["speed"]
+    max_gain_db: float = LEVELLER_DEFAULTS["max_gain_db"]
+    lookahead: bool = LEVELLER_DEFAULTS["lookahead"]
+    gate_threshold_db: float = LEVELLER_DEFAULTS["gate_threshold_db"]
+
+
+@dataclass
+class LoudnessConfig:
+    """ISO 226 loudness compensation (defaults usb_audio.c:174-176)."""
+
+    enabled: bool = False
+    ref_spl: float = 83.0
+    intensity_pct: float = 100.0
+
+
+def _default_channel_eq(platform: Platform) -> list[list[EqBand]]:
+    """Factory EQ state (dsp_init_default_filters, dsp_pipeline.c:177-214).
+
+    80 Hz highpass on every S/PDIF output channel, 80 Hz lowpass on the PDM
+    sub, everything else flat.
+    """
+    nch = NUM_CHANNELS[platform]
+    eq = [[EqBand() for _ in range(MAX_BANDS)] for _ in range(nch)]
+    sub_ch = nch - 1
+    for ch in range(CH_OUT_1, sub_ch):
+        eq[ch][0] = EqBand(FilterType.HIGHPASS, 80.0, 0.707, 0.0)
+    eq[sub_ch][0] = EqBand(FilterType.LOWPASS, 80.0, 0.707, 0.0)
+    return eq
+
+
+def _default_crosspoints(platform: Platform) -> list[list[Crosspoint]]:
+    """Stereo passthrough L->out0, R->out1 (matrix_init_defaults, usb_audio.c:3251)."""
+    nout = NUM_OUTPUT_CHANNELS[platform]
+    xp = [[Crosspoint() for _ in range(nout)] for _ in range(NUM_INPUT_CHANNELS)]
+    xp[0][0] = Crosspoint(enabled=True, gain_db=0.0)
+    xp[1][1] = Crosspoint(enabled=True, gain_db=0.0)
+    return xp
+
+
+def _default_outputs(platform: Platform) -> list[OutputChannel]:
+    nout = NUM_OUTPUT_CHANNELS[platform]
+    outs = [OutputChannel() for _ in range(nout)]
+    outs[0].enabled = True
+    outs[1].enabled = True
+    return outs
+
+
+@dataclass
+class DeviceConfig:
+    """Complete control-plane state of one virtual DSPi device."""
+
+    platform: Platform = Platform.RP2350
+    sample_rate: float = 48000.0
+
+    # input conditioning (usb_audio.c:244-269)
+    preamp_db: list[float] = field(default_factory=lambda: [0.0, 0.0])
+    master_volume_db: float = MASTER_VOL_DEFAULT_DB
+    host_volume_index: int = CENTER_VOLUME_INDEX   # 0 silent .. 60 = 0 dB
+    host_mute: bool = False
+    bypass_master_eq: bool = False
+
+    eq: list[list[EqBand]] = None                   # [channel][band]
+    band_counts: list[int] = None
+    crosspoints: list[list[Crosspoint]] = None      # [input][output]
+    outputs: list[OutputChannel] = None
+    crossfeed: CrossfeedConfig = field(default_factory=CrossfeedConfig)
+    leveller: LevellerConfig = field(default_factory=LevellerConfig)
+    loudness: LoudnessConfig = field(default_factory=LoudnessConfig)
+    channel_names: list[str] = None
+
+    def __post_init__(self):
+        nch = NUM_CHANNELS[self.platform]
+        if self.eq is None:
+            self.eq = _default_channel_eq(self.platform)
+        if self.band_counts is None:
+            self.band_counts = [DEFAULT_BAND_COUNT] * nch
+        if self.crosspoints is None:
+            self.crosspoints = _default_crosspoints(self.platform)
+        if self.outputs is None:
+            self.outputs = _default_outputs(self.platform)
+        if self.channel_names is None:
+            self.channel_names = default_channel_names(self.platform)
+
+    # convenience -----------------------------------------------------------
+    @property
+    def num_channels(self) -> int:
+        return NUM_CHANNELS[self.platform]
+
+    @property
+    def num_outputs(self) -> int:
+        return NUM_OUTPUT_CHANNELS[self.platform]
+
+    @property
+    def sub_channel(self) -> int:
+        return self.num_channels - 1
+
+    def copy(self) -> "DeviceConfig":
+        return dataclasses.replace(
+            self,
+            preamp_db=list(self.preamp_db),
+            eq=[[dataclasses.replace(b) for b in ch] for ch in self.eq],
+            band_counts=list(self.band_counts),
+            crosspoints=[[dataclasses.replace(x) for x in row] for row in self.crosspoints],
+            outputs=[dataclasses.replace(o) for o in self.outputs],
+            crossfeed=dataclasses.replace(self.crossfeed),
+            leveller=dataclasses.replace(self.leveller),
+            loudness=dataclasses.replace(self.loudness),
+            channel_names=list(self.channel_names),
+        )
+
+
+def default_channel_names(platform: Platform) -> list[str]:
+    """Factory channel names (get_default_channel_name, usb_audio.c:216-235)."""
+    if platform is Platform.RP2350:
+        return [
+            "USB L", "USB R",
+            "SPDIF 1 L", "SPDIF 1 R", "SPDIF 2 L", "SPDIF 2 R",
+            "SPDIF 3 L", "SPDIF 3 R", "SPDIF 4 L", "SPDIF 4 R",
+            "PDM",
+        ]
+    return [
+        "USB L", "USB R",
+        "SPDIF 1 L", "SPDIF 1 R", "SPDIF 2 L", "SPDIF 2 R",
+        "PDM",
+    ]
