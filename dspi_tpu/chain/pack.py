@@ -1,0 +1,321 @@
+"""Packing: DerivedParams -> (StaticChain, ChainParams, ChainState).
+
+The TPU pipeline splits the firmware's state into three tiers:
+
+  * ``StaticChain``   — structure that is baked into the compiled program
+                        (which bands exist, SVF vs TDF2 per band, which
+                        outputs are enabled, block geometry).  Mirrors the
+                        firmware's branch structure in process_audio_packet.
+  * ``ChainParams``   — device arrays of coefficients/gains that can change
+                        without recompiling (filter coefficients, volumes,
+                        delay amounts, loudness table row).
+  * ``ChainState``    — per-stream runtime state with trailing [B] stream
+                        axis (filter memories, envelopes, delay rings, the
+                        delta-sigma modulator state).
+
+Data layout is time-major [T, B]: the stream axis lands on TPU vector lanes
+so every per-sample recurrence step is a wide VPU op across streams.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Any
+
+import numpy as np
+
+from ..core import constants as C
+from ..core.constants import FilterType, Platform
+from ..params.design import DerivedParams
+
+F = np.float32
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# band kind tags (static)
+SKIP = 0
+TDF2 = 1
+SVF_LP = 2
+SVF_HP = 3
+SVF_PEAK = 4
+SVF_SHELF = 5
+
+_SVF_KIND = {
+    FilterType.LOWPASS: SVF_LP,
+    FilterType.HIGHPASS: SVF_HP,
+    FilterType.PEAKING: SVF_PEAK,
+    FilterType.LOWSHELF: SVF_SHELF,
+    FilterType.HIGHSHELF: SVF_SHELF,
+    FilterType.FLAT: SVF_SHELF,
+}
+
+
+@dataclass(frozen=True)
+class StaticChain:
+    platform: str                      # "rp2350" | "rp2040"
+    block_size: int                    # samples per emulated USB packet
+    n_channels: int
+    n_outputs: int
+    n_spdif: int
+    bit_depth: int                     # 16 | 24
+    band_kinds: tuple                  # [ch][band] -> kind tag
+    channel_bypassed: tuple
+    bypass_master_eq: bool
+    loudness_on: bool
+    leveller_on: bool
+    leveller_lookahead: bool
+    crossfeed_on: bool
+    output_enabled: tuple
+    output_mute: tuple
+    delayed_outputs: tuple             # indices of outputs with delay > 0
+    delay_ring: int                    # ring length (0 = no delays)
+    pdm_on: bool                       # modulate the sub output
+    emit: str = "full"                 # "full" | "reduced"
+    unroll: int = 8
+
+    @property
+    def is_float(self) -> bool:
+        return self.platform == "rp2350"
+
+
+class ChainParams(NamedTuple):
+    """Dynamic coefficient arrays.  f32 fields are None on the Q28 path and
+    vice versa."""
+
+    # PASS 1
+    unpack_gain: Any          # f32 [2] (inv_scale*preamp) | i32 [2] preamp Q28
+    loud_sva: Any             # f32 [2 filt, 6] (sva1..svm2) | None
+    loud_qbq: Any             # i32 [2 filt, 5] (b0,b1,b2,a1,a2) | None
+    loud_bypass: Any          # bool [2]
+    # PASS 2 EQ coefficients [nch, MAX_BANDS]
+    eq_f32: Any               # f32 [nch, NB, 11] (sva1..svm2, b0,b1,b2,a1,a2)
+    eq_q28: Any               # i32 [nch, NB, 5]
+    # PASS 2.5 leveller scalars
+    lev: Any                  # f32 [9]: a_rms, a_att, a_rel, thresh, knee,
+    #                                    gate, ratio, max_gain, makeup
+    # PASS 3 crossfeed
+    xf: Any                   # f32 [3] lp_a0, lp_b1, ap_a | i32 [3]
+    # PASS 4/5 gains
+    vol_mul: Any              # f32 scalar host volume (0 if muted) | i32 Q15
+    master_vol: Any           # f32 scalar linear | i32 Q15
+    matrix_gain: Any          # f32 [2, nout] | i32 [2, nout] Q15 signed
+    out_gain: Any             # f32 [nout] gain_linear (both platforms)
+    delay_samples: Any        # i32 [n_delayed]
+
+
+class ChainState(NamedTuple):
+    loud_a: Any               # [2ch, 2filt, B] ic1 | s1
+    loud_b: Any               # [2ch, 2filt, B] ic2 | s2
+    eq_a: Any                 # [nch, NB, B] s1 | s1;  float path: TDF2 s1
+    eq_b: Any                 # [nch, NB, B] s2
+    eq_c: Any                 # [nch, NB, B] SVF ic1 (float only)
+    eq_d: Any                 # [nch, NB, B] SVF ic2 (float only)
+    lev_env: Any              # [2, B]
+    lev_gain_db: Any          # [B] smoothed gain dB (f32 both paths)
+    lev_gain: Any             # [B] linear gain (f32) | Q28 (i32)
+    lev_gain_prev: Any        # [B]
+    lev_la: Any               # [2, 480, B] lookahead ring
+    lev_la_idx: Any           # scalar i32
+    xf_lp: Any                # [2, B]
+    xf_ap: Any                # [2, B]
+    delay: Any                # [n_delayed, D, B]
+    delay_idx: Any            # scalar i32
+    pdm_err: Any              # [B] i32
+    pdm_err2: Any             # [B] i32
+    pdm_ns: Any               # [5, B] i32: x1, x2, y1, y2, err_acc
+    pdm_rng: Any              # [B] u32
+    pdm_fade: Any             # [B] i32
+    clip_flags: Any           # [B] i32 sticky bitmask
+
+
+def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
+                 emit: str = "full", pdm: bool = True,
+                 unroll: int = 8) -> StaticChain:
+    cfg = d.config
+    nout = cfg.num_outputs
+    is_float = cfg.platform is Platform.RP2350
+
+    band_kinds = []
+    for ch in range(cfg.num_channels):
+        kinds = []
+        for bq in d.eq[ch]:
+            if bq.bypass:
+                kinds.append(SKIP)
+            elif is_float and bq.use_svf:
+                kinds.append(_SVF_KIND[bq.svf_type])
+            else:
+                kinds.append(TDF2)
+        band_kinds.append(tuple(kinds))
+
+    g = d.gains
+    plat_mask = C.MAX_DELAY_SAMPLES[cfg.platform] - 1
+    # The firmware runs the delay for every output with delay>0, enabled or
+    # not (usb_audio.c:898-911) — disabled outputs shift zeros through their
+    # ring.  Reproduce that membership here.
+    delayed = []
+    max_eff = 0
+    for o in range(nout):
+        eff = int(g.delay_samples[o]) & plat_mask
+        if eff > 0:
+            delayed.append(o)
+            max_eff = max(max_eff, eff)
+    ring = _next_pow2(max_eff + block_size + 1) if delayed else 0
+
+    return StaticChain(
+        platform=cfg.platform.value,
+        block_size=block_size,
+        n_channels=cfg.num_channels,
+        n_outputs=nout,
+        n_spdif=C.NUM_SPDIF_INSTANCES[cfg.platform],
+        bit_depth=bit_depth,
+        band_kinds=tuple(band_kinds),
+        channel_bypassed=tuple(bool(b) for b in d.channel_bypassed),
+        bypass_master_eq=bool(cfg.bypass_master_eq),
+        loudness_on=bool(cfg.loudness.enabled and d.loudness is not None),
+        leveller_on=bool(cfg.leveller.enabled),
+        leveller_lookahead=bool(cfg.leveller.lookahead),
+        crossfeed_on=bool(d.crossfeed.enabled),
+        output_enabled=tuple(bool(x) for x in g.output_enabled),
+        output_mute=tuple(bool(x) for x in g.output_mute),
+        delayed_outputs=tuple(delayed),
+        delay_ring=ring,
+        pdm_on=bool(pdm and g.output_enabled[nout - 1]),
+        emit=emit,
+        unroll=unroll,
+    )
+
+
+def build_params(d: DerivedParams, static: StaticChain) -> ChainParams:
+    cfg = d.config
+    g = d.gains
+    nch, nout = cfg.num_channels, cfg.num_outputs
+    nb = C.MAX_BANDS
+    is_float = static.is_float
+    plat_mask = C.MAX_DELAY_SAMPLES[cfg.platform] - 1
+
+    # PASS 1 unpack gain: firmware folds the int->unit scale into the preamp
+    # (usb_audio.c:602-603 / 680-681) before the per-sample multiply.
+    if is_float:
+        inv = F(1.0) / (F(8388608.0) if static.bit_depth == 24 else F(32768.0))
+        unpack_gain = np.array([inv * g.preamp_linear[0],
+                                inv * g.preamp_linear[1]], np.float32)
+    else:
+        unpack_gain = g.preamp_q28.copy()
+
+    # loudness row for the current host volume index
+    loud_sva = loud_qbq = None
+    loud_bypass = np.zeros(2, bool)
+    if static.loudness_on:
+        row = d.loudness[min(max(cfg.host_volume_index, 0), C.CENTER_VOLUME_INDEX)]
+        loud_bypass = np.array([s.bypass for s in row], bool)
+        if is_float:
+            loud_sva = np.array(
+                [[s.sva1, s.sva2, s.sva3, s.svm0, s.svm1, s.svm2] for s in row],
+                np.float32)
+        else:
+            loud_qbq = np.array(
+                [[s.qb0, s.qb1, s.qb2, s.qa1, s.qa2] for s in row], np.int32)
+
+    # EQ coefficient grids
+    eq_f32 = eq_q28 = None
+    if is_float:
+        eq_f32 = np.zeros((nch, nb, 11), np.float32)
+        for ch in range(nch):
+            for b, bq in enumerate(d.eq[ch]):
+                eq_f32[ch, b] = [bq.sva1, bq.sva2, bq.sva3, bq.svm0, bq.svm1,
+                                 bq.svm2, bq.b0, bq.b1, bq.b2, bq.a1, bq.a2]
+    else:
+        eq_q28 = np.zeros((nch, nb, 5), np.int32)
+        for ch in range(nch):
+            for b, bq in enumerate(d.eq[ch]):
+                eq_q28[ch, b] = [bq.qb0, bq.qb1, bq.qb2, bq.qa1, bq.qa2]
+
+    lv = d.leveller
+    lev = np.array([lv.alpha_rms, lv.alpha_attack, lv.alpha_release,
+                    lv.threshold_db, lv.knee_width_db, lv.gate_threshold_db,
+                    lv.ratio, lv.max_gain_db, lv.makeup_db], np.float32)
+
+    xf_d = d.crossfeed
+    if is_float:
+        xf = np.array([xf_d.lp_a0, xf_d.lp_b1, xf_d.ap_a], np.float32)
+    else:
+        xf = np.array([xf_d.q_lp_a0, xf_d.q_lp_b1, xf_d.q_ap_a], np.int32)
+
+    # host volume with mute folded in (usb_audio.c:569/:975)
+    if is_float:
+        vol_mul = (F(0.0) if cfg.host_mute
+                   else F(int(g.host_vol_mul)) * (F(1.0) / F(32768.0)))
+        master_vol = g.master_volume_linear
+        matrix_gain = g.matrix_gain.copy()
+    else:
+        vol_mul = np.int32(0 if cfg.host_mute else int(g.host_vol_mul))
+        master_vol = g.master_volume_q15
+        matrix_gain = g.matrix_gain_q15.copy()
+
+    delay_samples = np.array(
+        [int(g.delay_samples[o]) & plat_mask for o in static.delayed_outputs],
+        np.int32)
+    if static.delay_ring:
+        # the ring must hold the deepest delay plus one block of writes
+        assert int(delay_samples.max(initial=0)) + static.block_size \
+            <= static.delay_ring
+
+    return ChainParams(
+        unpack_gain=unpack_gain,
+        loud_sva=loud_sva, loud_qbq=loud_qbq, loud_bypass=loud_bypass,
+        eq_f32=eq_f32, eq_q28=eq_q28,
+        lev=lev, xf=xf,
+        vol_mul=np.asarray(vol_mul),
+        master_vol=np.asarray(master_vol),
+        matrix_gain=matrix_gain,
+        out_gain=g.output_gain_linear.copy(),
+        delay_samples=delay_samples,
+    )
+
+
+def init_state(static: StaticChain, n_streams: int,
+               pdm_seed=C.PDM_RNG_SEED, pdm_fade: bool = True) -> ChainState:
+    B = n_streams
+    nch, nb = static.n_channels, C.MAX_BANDS
+    is_float = static.is_float
+    fdt = np.float32 if is_float else np.int32
+
+    def zf(*s):
+        return np.zeros(s, fdt)
+
+    def zi(*s):
+        return np.zeros(s, np.int32)
+
+    rng = np.full(B, pdm_seed, np.uint32) if np.isscalar(pdm_seed) \
+        else np.asarray(pdm_seed, np.uint32)
+
+    return ChainState(
+        loud_a=zf(2, 2, B), loud_b=zf(2, 2, B),
+        eq_a=zf(nch, nb, B), eq_b=zf(nch, nb, B),
+        eq_c=zf(nch, nb, B) if is_float else None,
+        eq_d=zf(nch, nb, B) if is_float else None,
+        lev_env=zf(2, B),
+        lev_gain_db=np.zeros(B, np.float32),
+        lev_gain=(np.ones(B, np.float32) if is_float
+                  else np.full(B, C.Q28_ONE, np.int32)),
+        lev_gain_prev=(np.ones(B, np.float32) if is_float
+                       else np.full(B, C.Q28_ONE, np.int32)),
+        lev_la=zf(2, C.LEVELLER_LOOKAHEAD_SAMPLES, B) if static.leveller_on else None,
+        lev_la_idx=np.int32(0),
+        xf_lp=zf(2, B), xf_ap=zf(2, B),
+        delay=zf(len(static.delayed_outputs), static.delay_ring, B)
+        if static.delay_ring else None,
+        delay_idx=np.int32(0),
+        pdm_err=zi(B), pdm_err2=zi(B),
+        pdm_ns=zi(5, B),
+        pdm_rng=rng,
+        pdm_fade=(zi(B) if pdm_fade
+                  else np.full(B, C.PDM_FADE_IN_SAMPLES, np.int32)),
+        clip_flags=zi(B),
+    )

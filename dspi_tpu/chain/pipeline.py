@@ -1,0 +1,762 @@
+"""The batched TPU pipeline: PASS 1-5 of process_audio_packet as JAX.
+
+Execution model
+---------------
+One call processes a *segment* of ``n_packets`` emulated USB packets of
+``block_size`` samples for ``B`` independent streams at once:
+
+    x: int32 [n_packets, 2, block_size, B]  ->  outputs [..., B]
+
+Per-sample recurrences (IIR filters, crossfeed, envelopes) run as
+``lax.scan`` over the time axis with every carried state shaped [B], so a
+single recurrence step is one wide VPU op across all streams.  Block-scoped
+firmware semantics (the leveller's once-per-packet gain computer and its
+interpolated application) are preserved by scanning over packets at the
+outer level — exactly the firmware's packet cadence.
+
+The sample-level arithmetic is the firmware's, op for op:
+
+  PASS 1  unpack + preamp + loudness shelves    usb_audio.c:590-718 / 996-1047
+  PASS 2  master EQ block                       dsp_pipeline.c:282-365 / .S
+  PASS 2.5 leveller                             leveller.c:147-262 / 274-389
+  PASS 3  crossfeed + master peaks              usb_audio.c:737-749 / 1064-1073
+  PASS 4  matrix mix                            usb_audio.c:751-779 / 1075-1100
+  PASS 5  per-output EQ/gain/delay/convert      usb_audio.c:873-959 / 1191-1275
+
+Loop-order note: the firmware processes EQ band-major within a block; this
+pipeline runs sample-major.  For a causal chain the two orders compute the
+identical sequence of scalar operations per (band, sample), so results are
+bit-identical in both int32 and float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core import constants as C
+from ..core.qmath import q15_mul, q28_mul, q28_to_s24
+from ..kernels.pdm import pdm_segment
+from .pack import (SKIP, SVF_HP, SVF_LP, SVF_PEAK, SVF_SHELF, TDF2,
+                   ChainParams, ChainState, StaticChain)
+
+F = np.float32
+I = np.int32
+
+
+def _f32_to_i32(x):
+    """vcvt.s32.f32 on jnp arrays (saturating truncation)."""
+    x = jnp.where(jnp.isnan(x), 0.0, x)
+    out = jnp.trunc(x.clip(-2147483648.0, 2147483520.0)).astype(jnp.int32)
+    return jnp.where(x >= 2147483648.0, jnp.int32(2**31 - 1), out)
+
+
+# ----------------------------------------------------------------------------
+# per-band sample steps
+# ----------------------------------------------------------------------------
+
+
+def _band_step_f32(kind: int, cf, s, xin):
+    """One band, one sample, float path (dsp_pipeline.c:298-364).
+
+    cf: [11] coefficient row; s: (a, b) state pair [B]; returns (out, s')."""
+    if kind == TDF2:
+        b0, b1, b2, a1, a2 = cf[6], cf[7], cf[8], cf[9], cf[10]
+        s1, s2 = s
+        out = b0 * xin + s1
+        s1n = b1 * xin - a1 * out + s2
+        s2n = b2 * xin - a2 * out
+        return out, (s1n, s2n)
+    a1, a2, a3 = cf[0], cf[1], cf[2]
+    m0, m1, m2 = cf[3], cf[4], cf[5]
+    ic1, ic2 = s
+    v3 = xin - ic2
+    v1 = a1 * ic1 + a2 * v3
+    v2 = ic2 + a2 * ic1 + a3 * v3
+    ic1n = 2.0 * v1 - ic1
+    ic2n = 2.0 * v2 - ic2
+    if kind == SVF_LP:
+        out = v2
+    elif kind == SVF_HP:
+        out = xin + m1 * v1 - v2
+    elif kind == SVF_PEAK:
+        out = xin + m1 * v1
+    else:
+        out = m0 * xin + m1 * v1 + m2 * v2
+    return out, (ic1n, ic2n)
+
+
+def _band_step_q28(cf, s, xin):
+    """One band, one sample, Q28 TDF2 (dsp_process_rp2040.S:263-365)."""
+    b0, b1, b2, a1, a2 = cf[0], cf[1], cf[2], cf[3], cf[4]
+    s1, s2 = s
+    out = q28_mul(b0, xin) + s1
+    s1n = (q28_mul(b1, xin) - q28_mul(a1, out)) + s2
+    s2n = q28_mul(b2, xin) - q28_mul(a2, out)
+    return out, (s1n, s2n)
+
+
+def _svf_general_f32(cf_row, s, xin, bypass):
+    """Loudness shelf: general SVF mix with runtime bypass
+    (usb_audio.c:697-702).  When bypassed, both state and output freeze."""
+    sva1, sva2, sva3, svm0, svm1, svm2 = (cf_row[0], cf_row[1], cf_row[2],
+                                          cf_row[3], cf_row[4], cf_row[5])
+    ic1, ic2 = s
+    v3 = xin - ic2
+    v1 = sva1 * ic1 + sva2 * v3
+    v2 = ic2 + sva2 * ic1 + sva3 * v3
+    ic1n = 2.0 * v1 - ic1
+    ic2n = 2.0 * v2 - ic2
+    out = svm0 * xin + svm1 * v1 + svm2 * v2
+    return (jnp.where(bypass, xin, out),
+            (jnp.where(bypass, ic1, ic1n), jnp.where(bypass, ic2, ic2n)))
+
+
+def _tdf2_q28_bypassable(cf_row, s, xin, bypass):
+    """Loudness Q28 biquad with runtime bypass (usb_audio.c:1022-1031)."""
+    out, (s1n, s2n) = _band_step_q28(cf_row, s, xin)
+    return (jnp.where(bypass, xin, out),
+            (jnp.where(bypass, s[0], s1n), jnp.where(bypass, s[1], s2n)))
+
+
+# ----------------------------------------------------------------------------
+# EQ cascade scans
+# ----------------------------------------------------------------------------
+
+
+def _active_bands(static: StaticChain, channels):
+    """(ch, band, kind) for every non-skipped band of the given channels."""
+    out = []
+    for ch in channels:
+        for band, kind in enumerate(static.band_kinds[ch]):
+            if kind != SKIP:
+                out.append((ch, band, kind))
+    return out
+
+
+def _gather_states(static, state: ChainState, bands):
+    init = []
+    for ch, band, kind in bands:
+        if static.is_float and kind != TDF2:
+            init.append((state.eq_c[ch, band], state.eq_d[ch, band]))
+        else:
+            init.append((state.eq_a[ch, band], state.eq_b[ch, band]))
+    return tuple(init)
+
+
+def _scatter_states(static, state: ChainState, bands, finals) -> ChainState:
+    eq_a, eq_b = state.eq_a, state.eq_b
+    eq_c, eq_d = state.eq_c, state.eq_d
+    for (ch, band, kind), (sa, sb) in zip(bands, finals):
+        if static.is_float and kind != TDF2:
+            eq_c = eq_c.at[ch, band].set(sa)
+            eq_d = eq_d.at[ch, band].set(sb)
+        else:
+            eq_a = eq_a.at[ch, band].set(sa)
+            eq_b = eq_b.at[ch, band].set(sb)
+    return state._replace(eq_a=eq_a, eq_b=eq_b, eq_c=eq_c, eq_d=eq_d)
+
+
+# ----------------------------------------------------------------------------
+# the segment processor
+# ----------------------------------------------------------------------------
+
+
+def make_process(static: StaticChain):
+    """Build the jitted segment processor for a static chain structure.
+
+    Returns ``process(params, state, x, preset_mute) -> (state', outputs)``
+    with ``x`` int32 [n_packets, 2, block_size, B] (s16 or s24 values per
+    ``static.bit_depth``) and ``preset_mute`` float32 [n_packets].
+    """
+    fn = _process_float if static.is_float else _process_q28
+    jitted = jax.jit(functools.partial(fn, static), donate_argnums=(1,))
+
+    def process(params, state, x, preset_mute=None):
+        if preset_mute is None:
+            preset_mute = jnp.ones((x.shape[0],), jnp.float32)
+        return jitted(params, state, x, preset_mute)
+
+    return process
+
+
+# ---------------------------- float path -----------------------------------
+
+
+def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
+                   x, preset_mute):
+    T = static.block_size
+    nout = static.n_outputs
+    ns2 = static.n_spdif * 2
+    master_bands = _active_bands(
+        static, [ch for ch in (0, 1)
+                 if not static.bypass_master_eq and not static.channel_bypassed[ch]])
+    out_channels = [
+        C.CH_OUT_1 + o for o in range(nout)
+        if static.output_enabled[o] and not static.output_mute[o]
+        and not static.channel_bypassed[C.CH_OUT_1 + o]]
+    out_bands = _active_bands(static, out_channels)
+
+    unroll = static.unroll
+
+    def packet_step(carry, xs):
+        st: ChainState = carry
+        x_pkt, pm_gain = xs                     # [2, T, B], scalar
+
+        vol_mul = p.vol_mul * pm_gain
+        vol_mul_master = vol_mul * p.master_vol
+
+        # ---- PASS 1: unpack + preamp (usb_audio.c:678-686) ----
+        xl = x_pkt[0].astype(jnp.float32) * p.unpack_gain[0]
+        xr = x_pkt[1].astype(jnp.float32) * p.unpack_gain[1]
+
+        # ---- scan A: loudness + master EQ + leveller envelope ----
+        def scan_a(carry_a, xt):
+            loud, eqs, env = carry_a
+            l_t, r_t = xt
+            if static.loudness_on:
+                loud_n = []
+                for chi, cur in ((0, l_t), (1, r_t)):
+                    for j in range(2):
+                        cur, s_n = _svf_general_f32(
+                            p.loud_sva[j], loud[chi * 2 + j], cur,
+                            p.loud_bypass[j])
+                        loud_n.append(s_n)
+                    if chi == 0:
+                        l_t = cur
+                    else:
+                        r_t = cur
+                loud = tuple(loud_n)
+            eqs_n = list(eqs)
+            for i, (ch, band, kind) in enumerate(master_bands):
+                cur = l_t if ch == 0 else r_t
+                cur, eqs_n[i] = _band_step_f32(kind, p.eq_f32[ch, band],
+                                               eqs[i], cur)
+                if ch == 0:
+                    l_t = cur
+                else:
+                    r_t = cur
+            if static.leveller_on:
+                a = p.lev[0]
+                env = (a * env[0] + (1.0 - a) * (l_t * l_t),
+                       a * env[1] + (1.0 - a) * (r_t * r_t))
+            return (loud, tuple(eqs_n), env), (l_t, r_t)
+
+        loud0 = tuple(
+            (st.loud_a[chi, j], st.loud_b[chi, j])
+            for chi in range(2) for j in range(2))
+        eqs0 = _gather_states(static, st, master_bands)
+        env0 = (st.lev_env[0], st.lev_env[1])
+        (loudF, eqsF, envF), (bl, br) = lax.scan(
+            scan_a, (loud0, eqs0, env0), (xl, xr), unroll=unroll)
+
+        st = st._replace(
+            loud_a=jnp.stack([jnp.stack([loudF[0][0], loudF[1][0]]),
+                              jnp.stack([loudF[2][0], loudF[3][0]])]),
+            loud_b=jnp.stack([jnp.stack([loudF[0][1], loudF[1][1]]),
+                              jnp.stack([loudF[2][1], loudF[3][1]])]))
+        st = _scatter_states(static, st, master_bands, eqsF)
+
+        # ---- PASS 2.5 leveller block phase (leveller.c:147-262) ----
+        if static.leveller_on:
+            env_l = jnp.where(envF[0] < 1e-30, 0.0, envF[0])
+            env_r = jnp.where(envF[1] < 1e-30, 0.0, envF[1])
+            st = st._replace(lev_env=jnp.stack([env_l, env_r]))
+
+            a_att, a_rel = p.lev[1], p.lev[2]
+            thresh, knee, gate = p.lev[3], p.lev[4], p.lev[5]
+            ratio, max_gain, makeup = p.lev[6], p.lev[7], p.lev[8]
+
+            rms_sq = jnp.maximum(env_l, env_r)
+            rms_db = 10.0 * jnp.log10(rms_sq + 1e-30)
+            half = knee * 0.5
+            d = thresh + half - rms_db
+            slope = 1.0 - 1.0 / ratio
+            gc = jnp.where(
+                rms_db > thresh + half, 0.0,
+                jnp.where(rms_db >= thresh - half,
+                          slope * d * d / (2.0 * knee),
+                          (thresh - rms_db) * slope))
+            gc = jnp.minimum(gc + makeup, max_gain)
+            gc = jnp.where(rms_db < gate, 0.0, gc)
+
+            alpha_s = jnp.where(gc < st.lev_gain_db, a_att, a_rel)
+            alpha = jnp.power(alpha_s, jnp.float32(T))
+            gain_db = alpha * st.lev_gain_db + (1.0 - alpha) * gc
+            gain_prev = st.lev_gain
+            gain_cur = jnp.power(jnp.float32(10.0), gain_db / 20.0)
+            st = st._replace(lev_gain_db=gain_db, lev_gain=gain_cur,
+                             lev_gain_prev=gain_prev)
+
+            # gain ramp with the firmware's sequential accumulation
+            if T == 1:
+                gains = gain_cur[None]
+            else:
+                step = (gain_cur - gain_prev) / jnp.float32(T - 1)
+                def ramp(g, _):
+                    return g + step, g
+                _, gains = lax.scan(ramp, gain_prev, None, length=T,
+                                    unroll=unroll)
+
+            if static.leveller_lookahead:
+                la = C.LEVELLER_LOOKAHEAD_SAMPLES
+                idx = (st.lev_la_idx + jnp.arange(T, dtype=jnp.int32)) % la
+                out_l = st.lev_la[0, idx]
+                out_r = st.lev_la[1, idx]
+                lev_la = st.lev_la.at[0, idx].set(bl).at[1, idx].set(br)
+                st = st._replace(lev_la=lev_la,
+                                 lev_la_idx=(st.lev_la_idx + T) % la)
+            else:
+                out_l, out_r = bl, br
+
+            peak = jnp.maximum(jnp.abs(out_l), jnp.abs(out_r))
+            max_g = jnp.float32(C.LEVELLER_LIMITER_CEIL) / peak
+            cap = jnp.where(max_g > 1.0, max_g, 1.0)
+            g_eff = jnp.where((peak > 0.0) & (gains > 1.0) & (max_g < gains),
+                              cap, gains)
+            bl = out_l * g_eff
+            br = out_r * g_eff
+
+        # ---- PASS 3: master peaks (pre-crossfeed) + crossfeed ----
+        peak_ml = jnp.max(jnp.abs(bl), axis=0)
+        peak_mr = jnp.max(jnp.abs(br), axis=0)
+
+        if static.crossfeed_on:
+            lp_a0, lp_b1, ap_a = p.xf[0], p.xf[1], p.xf[2]
+
+            def xf_body(cxf, xt):
+                lpL, lpR, apL, apR = cxf
+                ml, mr = xt
+                lp_l = lp_a0 * ml + lp_b1 * lpL
+                lp_r = lp_a0 * mr + lp_b1 * lpR
+                ap_l = ap_a * lp_l + apL
+                apL_n = lp_l - ap_a * ap_l
+                ap_r = ap_a * lp_r + apR
+                apR_n = lp_r - ap_a * ap_r
+                return ((lp_l, lp_r, apL_n, apR_n),
+                        ((ml - lp_l) + ap_r, (mr - lp_r) + ap_l))
+
+            xf0 = (st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1])
+            (lpL, lpR, apL, apR), (bl, br) = lax.scan(
+                xf_body, xf0, (bl, br), unroll=unroll)
+            st = st._replace(xf_lp=jnp.stack([lpL, lpR]),
+                             xf_ap=jnp.stack([apL, apR]))
+
+        # ---- PASS 4: matrix mix (usb_audio.c:751-779) ----
+        bufs = []
+        for o in range(nout):
+            if not static.output_enabled[o]:
+                bufs.append(jnp.zeros_like(bl))
+                continue
+            gl, gr = p.matrix_gain[0, o], p.matrix_gain[1, o]
+            both = bl * gl + br * gr
+            dst = jnp.where(
+                (gl != 0.0) & (gr != 0.0), both,
+                jnp.where(gl != 0.0, bl * gl,
+                          jnp.where(gr != 0.0, br * gr, 0.0)))
+            bufs.append(dst)
+
+        # ---- PASS 5: per-output EQ ----
+        if out_bands:
+            def scan_b(eqs, xt):
+                eqs_n = list(eqs)
+                outs = list(xt)
+                for i, (ch, band, kind) in enumerate(out_bands):
+                    o = ch - C.CH_OUT_1
+                    outs[o], eqs_n[i] = _band_step_f32(
+                        kind, p.eq_f32[ch, band], eqs[i], outs[o])
+                return tuple(eqs_n), tuple(outs)
+
+            eqs0b = _gather_states(static, st, out_bands)
+            eqsFb, outs = lax.scan(scan_b, eqs0b, tuple(bufs), unroll=unroll)
+            st = _scatter_states(static, st, out_bands, eqsFb)
+            bufs = list(outs)
+
+        # output gains (usb_audio.c:885-894)
+        for o in range(nout):
+            if not static.output_enabled[o]:
+                continue
+            if static.output_mute[o]:
+                bufs[o] = jnp.zeros_like(bufs[o])
+                continue
+            gain = p.out_gain[o] * vol_mul_master
+            bufs[o] = jnp.where(gain == 0.0, 0.0, bufs[o] * gain)
+
+        # delay lines (usb_audio.c:897-911)
+        if static.delayed_outputs:
+            D = static.delay_ring
+            tvec = jnp.arange(T, dtype=jnp.int32)
+            idx_w = (st.delay_idx + tvec) % D
+            ring = st.delay
+            for k, o in enumerate(static.delayed_outputs):
+                dly = p.delay_samples[k]
+                ring_read = ring[k, (st.delay_idx + tvec - dly) % D]
+                in_block = jnp.take(bufs[o], jnp.clip(tvec - dly, 0, T - 1),
+                                    axis=0)
+                delayed = jnp.where((tvec >= dly)[:, None], in_block, ring_read)
+                ring = ring.at[k, idx_w].set(bufs[o])
+                bufs[o] = delayed
+            st = st._replace(delay=ring, delay_idx=(st.delay_idx + T) % D)
+
+        # peaks / clip flags
+        peaks = [peak_ml, peak_mr]
+        for o in range(ns2):
+            peaks.append(jnp.max(jnp.abs(bufs[o]), axis=0))
+        if static.output_enabled[nout - 1]:
+            peaks.append(jnp.max(jnp.abs(bufs[nout - 1]), axis=0))
+        else:
+            peaks.append(jnp.zeros_like(peak_ml))
+        peaks = jnp.stack(peaks)                  # [nch', B] float
+        clip = st.clip_flags
+        for chi in range(peaks.shape[0]):
+            ch_bit = chi if chi < 2 + ns2 else static.n_channels - 1
+            clip = clip | jnp.where(peaks[chi] > C.CLIP_THRESH_F,
+                                    jnp.int32(1 << ch_bit), 0)
+        st = st._replace(clip_flags=clip)
+
+        # S/PDIF conversion (usb_audio.c:934-940)
+        s24 = []
+        for pair in range(static.n_spdif):
+            lch, rch = pair * 2, pair * 2 + 1
+            on = static.output_enabled[lch] or static.output_enabled[rch]
+            for chn in (lch, rch):
+                if on:
+                    dl = jnp.clip(bufs[chn], -1.0, 1.0)
+                    s24.append(_f32_to_i32(dl * jnp.float32(8388607.0)))
+                else:
+                    s24.append(jnp.zeros(bufs[chn].shape, jnp.int32))
+        s24 = jnp.stack(s24)                      # [ns2, T, B]
+
+        sub = bufs[nout - 1]
+        if static.emit == "full":
+            ys = (jnp.stack(bufs), s24, peaks, sub)
+        else:
+            ys = (None, jnp.sum(s24.astype(jnp.int32), axis=1), peaks, sub)
+        return st, ys
+
+    state, (out_full, s24_out, peaks_pkts, sub_all) = lax.scan(
+        packet_step, state, (x, preset_mute))
+
+    outputs = {}
+    # peak u16 conversion (usb_audio.c:841,921): trunc(min(1,peak)*32767)
+    seg_peaks = jnp.max(peaks_pkts, axis=0)
+    outputs["peaks"] = jnp.trunc(
+        jnp.minimum(1.0, seg_peaks) * 32767.0).astype(jnp.int32)
+    if static.emit == "full":
+        outputs["out"] = out_full                 # [Npkt, nout, T, B]
+        outputs["s24"] = s24_out                  # [Npkt, ns2, T, B]
+    else:
+        outputs["s24_sum"] = jnp.sum(s24_out, axis=0)
+
+    if static.pdm_on:
+        Npkt = x.shape[0]
+        sub_flat = sub_all.reshape(Npkt * static.block_size, -1)
+        sub_q28 = _f32_to_i32(sub_flat * jnp.float32(1 << 28))
+        state, words = pdm_segment(state, sub_q28)
+        if static.emit == "full":
+            outputs["pdm"] = words                # [Ttot, 8, B] uint32
+        else:
+            outputs["pdm_sum"] = jnp.sum(words, axis=(0, 1), dtype=jnp.uint32)
+
+    return state, outputs
+
+
+# ---------------------------- Q28 path -------------------------------------
+
+
+def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
+                 x, preset_mute):
+    T = static.block_size
+    nout = static.n_outputs
+    ns2 = static.n_spdif * 2
+    master_bands = _active_bands(
+        static, [ch for ch in (0, 1)
+                 if not static.bypass_master_eq and not static.channel_bypassed[ch]])
+    # NOTE: on RP2040 bypass_master_eq gates per-output EQ too (usb_audio.c:1200)
+    out_channels = [] if static.bypass_master_eq else [
+        C.CH_OUT_1 + o for o in range(nout)
+        if static.output_enabled[o] and not static.output_mute[o]
+        and not static.channel_bypassed[C.CH_OUT_1 + o]]
+    out_bands = _active_bands(static, out_channels)
+    unroll = static.unroll
+
+    def packet_step(carry, xs):
+        st: ChainState = carry
+        x_pkt, pm_gain = xs
+
+        # volume staging (usb_audio.c:975-980)
+        pm_q15 = jnp.clip(_f32_to_i32(pm_gain * 32768.0 + 0.5), 0, 32768)
+        vol_mul = q15_mul(p.vol_mul, pm_q15)
+        vol_mul_master = q15_mul(vol_mul, p.master_vol)
+
+        # ---- PASS 1: unpack + preamp (usb_audio.c:996-1015) ----
+        if static.bit_depth == 24:
+            raw_l = (x_pkt[0] << 8) >> 2
+            raw_r = (x_pkt[1] << 8) >> 2
+        else:
+            raw_l = x_pkt[0] << 14
+            raw_r = x_pkt[1] << 14
+        xl = q28_mul(raw_l, p.unpack_gain[0])
+        xr = q28_mul(raw_r, p.unpack_gain[1])
+
+        # ---- scan A: loudness + master EQ + leveller env ----
+        if static.leveller_on:
+            a_rms_q28 = _f32_to_i32(p.lev[0] * jnp.float32(1 << 28))
+            one_minus = jnp.int32(C.Q28_ONE) - a_rms_q28
+
+        def scan_a(carry_a, xt):
+            loud, eqs, env = carry_a
+            l_t, r_t = xt
+            if static.loudness_on:
+                loud_n = []
+                for chi, cur in ((0, l_t), (1, r_t)):
+                    for j in range(2):
+                        cur, s_n = _tdf2_q28_bypassable(
+                            p.loud_qbq[j], loud[chi * 2 + j], cur,
+                            p.loud_bypass[j])
+                        loud_n.append(s_n)
+                    if chi == 0:
+                        l_t = cur
+                    else:
+                        r_t = cur
+                loud = tuple(loud_n)
+            eqs_n = list(eqs)
+            for i, (ch, band, kind) in enumerate(master_bands):
+                cur = l_t if ch == 0 else r_t
+                cur, eqs_n[i] = _band_step_q28(p.eq_q28[ch, band], eqs[i], cur)
+                if ch == 0:
+                    l_t = cur
+                else:
+                    r_t = cur
+            if static.leveller_on:
+                sq_l = q28_mul(l_t, l_t)
+                sq_r = q28_mul(r_t, r_t)
+                env = (q28_mul(a_rms_q28, env[0]) + q28_mul(one_minus, sq_l),
+                       q28_mul(a_rms_q28, env[1]) + q28_mul(one_minus, sq_r))
+            return (loud, tuple(eqs_n), env), (l_t, r_t)
+
+        loud0 = tuple(
+            (st.loud_a[chi, j], st.loud_b[chi, j])
+            for chi in range(2) for j in range(2))
+        eqs0 = _gather_states(static, st, master_bands)
+        env0 = (st.lev_env[0], st.lev_env[1])
+        (loudF, eqsF, envF), (bl, br) = lax.scan(
+            scan_a, (loud0, eqs0, env0), (xl, xr), unroll=unroll)
+
+        st = st._replace(
+            loud_a=jnp.stack([jnp.stack([loudF[0][0], loudF[1][0]]),
+                              jnp.stack([loudF[2][0], loudF[3][0]])]),
+            loud_b=jnp.stack([jnp.stack([loudF[0][1], loudF[1][1]]),
+                              jnp.stack([loudF[2][1], loudF[3][1]])]))
+        st = _scatter_states(static, st, master_bands, eqsF)
+
+        # ---- PASS 2.5 leveller block phase (leveller.c:274-389) ----
+        if static.leveller_on:
+            env_l, env_r = envF
+            st = st._replace(lev_env=jnp.stack([env_l, env_r]))
+            inv_q28 = jnp.float32(1.0) / jnp.float32(1 << 28)
+            env_l_f = env_l.astype(jnp.float32) * inv_q28
+            env_r_f = env_r.astype(jnp.float32) * inv_q28
+            a_att, a_rel = p.lev[1], p.lev[2]
+            thresh, knee, gate = p.lev[3], p.lev[4], p.lev[5]
+            ratio, max_gain, makeup = p.lev[6], p.lev[7], p.lev[8]
+            rms_sq = jnp.maximum(env_l_f, env_r_f)
+            rms_db = 10.0 * jnp.log10(rms_sq + 1e-30)
+            half = knee * 0.5
+            d = thresh + half - rms_db
+            slope = 1.0 - 1.0 / ratio
+            gc = jnp.where(
+                rms_db > thresh + half, 0.0,
+                jnp.where(rms_db >= thresh - half,
+                          slope * d * d / (2.0 * knee),
+                          (thresh - rms_db) * slope))
+            gc = jnp.minimum(gc + makeup, max_gain)
+            gc = jnp.where(rms_db < gate, 0.0, gc)
+            alpha_s = jnp.where(gc < st.lev_gain_db, a_att, a_rel)
+            alpha = jnp.power(alpha_s, jnp.float32(T))
+            gain_db = alpha * st.lev_gain_db + (1.0 - alpha) * gc
+            gain_lin = jnp.power(jnp.float32(10.0), gain_db / 20.0)
+            g_prev = st.lev_gain
+            g_cur = _f32_to_i32(gain_lin * jnp.float32(C.Q28_ONE))
+            st = st._replace(lev_gain_db=gain_db, lev_gain=g_cur,
+                             lev_gain_prev=g_prev)
+
+            # interpolated gain: g_prev + (i64(g_cur-g_prev)*i)/(T-1),
+            # C truncating division (leveller.c:352)
+            if T == 1:
+                gains = g_cur[None]
+            else:
+                i_vec = jnp.arange(T, dtype=jnp.int64)[:, None]
+                diff = (g_cur - g_prev).astype(jnp.int64)
+                prod = diff * i_vec
+                q = jnp.sign(prod) * (jnp.abs(prod) // (T - 1))
+                gains = g_prev + q.astype(jnp.int32)
+
+            if static.leveller_lookahead:
+                la = C.LEVELLER_LOOKAHEAD_SAMPLES
+                idx = (st.lev_la_idx + jnp.arange(T, dtype=jnp.int32)) % la
+                out_l = st.lev_la[0, idx]
+                out_r = st.lev_la[1, idx]
+                lev_la = st.lev_la.at[0, idx].set(bl).at[1, idx].set(br)
+                st = st._replace(lev_la=lev_la,
+                                 lev_la_idx=(st.lev_la_idx + T) % la)
+            else:
+                out_l, out_r = bl, br
+
+            # limiter (leveller.c:369-379): float peak math, Q28 gain cap
+            unity = jnp.int32(C.Q28_ONE)
+            peak = jnp.maximum(
+                jnp.abs(out_l.astype(jnp.float32) * inv_q28),
+                jnp.abs(out_r.astype(jnp.float32) * inv_q28))
+            max_g_q28 = _f32_to_i32(
+                (jnp.float32(C.LEVELLER_LIMITER_CEIL) / peak)
+                * jnp.float32(C.Q28_ONE))
+            cap = jnp.maximum(max_g_q28, unity)
+            g_eff = jnp.where(
+                (gains > unity) & (peak > 0.0) & (max_g_q28 < gains),
+                cap, gains)
+            bl = q28_mul(out_l, g_eff)
+            br = q28_mul(out_r, g_eff)
+
+        # ---- PASS 3: peaks + crossfeed ----
+        peak_ml = jnp.max(jnp.abs(bl), axis=0)
+        peak_mr = jnp.max(jnp.abs(br), axis=0)
+
+        if static.crossfeed_on:
+            lp_a0, lp_b1, ap_a = p.xf[0], p.xf[1], p.xf[2]
+
+            def xf_body(cxf, xt):
+                lpL, lpR, apL, apR = cxf
+                ml, mr = xt
+                lp_l = q28_mul(lp_a0, ml) + q28_mul(lp_b1, lpL)
+                lp_r = q28_mul(lp_a0, mr) + q28_mul(lp_b1, lpR)
+                ap_l = q28_mul(ap_a, lp_l) + apL
+                apL_n = lp_l - q28_mul(ap_a, ap_l)
+                ap_r = q28_mul(ap_a, lp_r) + apR
+                apR_n = lp_r - q28_mul(ap_a, ap_r)
+                return ((lp_l, lp_r, apL_n, apR_n),
+                        ((ml - lp_l) + ap_r, (mr - lp_r) + ap_l))
+
+            xf0 = (st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1])
+            (lpL, lpR, apL, apR), (bl, br) = lax.scan(
+                xf_body, xf0, (bl, br), unroll=unroll)
+            st = st._replace(xf_lp=jnp.stack([lpL, lpR]),
+                             xf_ap=jnp.stack([apL, apR]))
+
+        # ---- PASS 4: matrix (usb_audio.c:1075-1100) ----
+        bufs = []
+        for o in range(nout):
+            if not static.output_enabled[o]:
+                bufs.append(jnp.zeros_like(bl))
+                continue
+            gl, gr = p.matrix_gain[0, o], p.matrix_gain[1, o]
+            both = q15_mul(bl, gl) + q15_mul(br, gr)
+            dst = jnp.where(
+                (gl != 0) & (gr != 0), both,
+                jnp.where(gl != 0, q15_mul(bl, gl),
+                          jnp.where(gr != 0, q15_mul(br, gr), 0)))
+            bufs.append(dst)
+
+        # ---- PASS 5: per-output EQ ----
+        if out_bands:
+            def scan_b(eqs, xt):
+                eqs_n = list(eqs)
+                outs = list(xt)
+                for i, (ch, band, kind) in enumerate(out_bands):
+                    o = ch - C.CH_OUT_1
+                    outs[o], eqs_n[i] = _band_step_q28(
+                        p.eq_q28[ch, band], eqs[i], outs[o])
+                return tuple(eqs_n), tuple(outs)
+
+            eqs0b = _gather_states(static, st, out_bands)
+            eqsFb, outs = lax.scan(scan_b, eqs0b, tuple(bufs), unroll=unroll)
+            st = _scatter_states(static, st, out_bands, eqsFb)
+            bufs = list(outs)
+
+        # output gains (usb_audio.c:1203-1212): float multiply then Q15 apply
+        for o in range(nout):
+            if not static.output_enabled[o]:
+                continue
+            if static.output_mute[o]:
+                bufs[o] = jnp.zeros_like(bufs[o])
+                continue
+            gain = _f32_to_i32(p.out_gain[o] * vol_mul_master.astype(jnp.float32))
+            bufs[o] = jnp.where(gain == 0, 0, q15_mul(bufs[o], gain))
+
+        # delay lines
+        if static.delayed_outputs:
+            D = static.delay_ring
+            tvec = jnp.arange(T, dtype=jnp.int32)
+            idx_w = (st.delay_idx + tvec) % D
+            ring = st.delay
+            for k, o in enumerate(static.delayed_outputs):
+                dly = p.delay_samples[k]
+                ring_read = ring[k, (st.delay_idx + tvec - dly) % D]
+                in_block = jnp.take(bufs[o], jnp.clip(tvec - dly, 0, T - 1),
+                                    axis=0)
+                delayed = jnp.where((tvec >= dly)[:, None], in_block, ring_read)
+                ring = ring.at[k, idx_w].set(bufs[o])
+                bufs[o] = delayed
+            st = st._replace(delay=ring, delay_idx=(st.delay_idx + T) % D)
+
+        # peaks / clips (Q28: u16 = peak >> 13, usb_audio.c:1239)
+        peaks = [peak_ml, peak_mr]
+        for o in range(ns2):
+            peaks.append(jnp.max(jnp.abs(bufs[o]), axis=0))
+        if static.output_enabled[nout - 1]:
+            peaks.append(jnp.max(jnp.abs(bufs[nout - 1]), axis=0))
+        else:
+            peaks.append(jnp.zeros_like(peak_ml))
+        peaks = jnp.stack(peaks)
+        clip = st.clip_flags
+        for chi in range(peaks.shape[0]):
+            ch_bit = chi if chi < 2 + ns2 else static.n_channels - 1
+            clip = clip | jnp.where(peaks[chi] > C.CLIP_THRESH_Q28,
+                                    jnp.int32(1 << ch_bit), 0)
+        st = st._replace(clip_flags=clip)
+
+        # S/PDIF conversion (usb_audio.c:1244-1257)
+        s24 = []
+        for pair in range(static.n_spdif):
+            lch, rch = pair * 2, pair * 2 + 1
+            on = static.output_enabled[lch] or static.output_enabled[rch]
+            for chn in (lch, rch):
+                if on:
+                    s24.append(q28_to_s24(bufs[chn]))
+                else:
+                    s24.append(jnp.zeros(bufs[chn].shape, jnp.int32))
+        s24 = jnp.stack(s24)
+
+        sub = bufs[nout - 1]
+        if static.emit == "full":
+            ys = (jnp.stack(bufs), s24, peaks, sub)
+        else:
+            ys = (None, jnp.sum(s24, axis=1), peaks, sub)
+        return st, ys
+
+    state, (out_full, s24_out, peaks_pkts, sub_all) = lax.scan(
+        packet_step, state, (x, preset_mute))
+
+    outputs = {}
+    seg_peaks = jnp.max(peaks_pkts, axis=0)
+    outputs["peaks"] = (seg_peaks >> 13) & 0xFFFF
+    if static.emit == "full":
+        outputs["out"] = out_full
+        outputs["s24"] = s24_out
+    else:
+        outputs["s24_sum"] = jnp.sum(s24_out, axis=0)
+
+    if static.pdm_on:
+        Npkt = x.shape[0]
+        sub_flat = sub_all.reshape(Npkt * static.block_size, -1)
+        state, words = pdm_segment(state, sub_flat)
+        if static.emit == "full":
+            outputs["pdm"] = words
+        else:
+            outputs["pdm_sum"] = jnp.sum(words, axis=(0, 1), dtype=jnp.uint32)
+
+    return state, outputs

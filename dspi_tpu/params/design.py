@@ -485,8 +485,13 @@ def gain_design(cfg: DeviceConfig) -> GainDesign:
     out = GainDesign()
     nout = cfg.num_outputs
 
-    # update_preamp (usb_audio.c:244-250)
-    lin = np.array([db_to_linear_f32(db) for db in cfg.preamp_db], dtype=np.float32)
+    # update_preamp (usb_audio.c:244-250); preset/bulk apply paths pass
+    # explicit linear overrides with their own db->linear conversions
+    if cfg.preamp_linear is not None:
+        lin = np.array(cfg.preamp_linear, dtype=np.float32)
+    else:
+        lin = np.array([db_to_linear_f32(db) for db in cfg.preamp_db],
+                       dtype=np.float32)
     out.preamp_linear = lin
     out.preamp_q28 = np.array(
         [_f32_to_i32_trunc(v * F(1 << 28)) for v in lin], dtype=np.int32)
@@ -513,7 +518,8 @@ def gain_design(cfg: DeviceConfig) -> GainDesign:
         for o in range(nout):
             xp = cfg.crosspoints[i][o]
             if xp.enabled:
-                g = db_to_linear_f32(xp.gain_db)
+                g = (F(xp.gain_linear) if xp.gain_linear is not None
+                     else db_to_linear_f32(xp.gain_db))
                 g = -g if xp.phase_invert else g
                 mg[i, o] = g
                 mg_q15[i, o] = _f32_to_i32_trunc(g * F(32768.0))
@@ -523,7 +529,9 @@ def gain_design(cfg: DeviceConfig) -> GainDesign:
     out.output_enabled = np.array([o.enabled for o in cfg.outputs], dtype=bool)
     out.output_mute = np.array([o.mute for o in cfg.outputs], dtype=bool)
     out.output_gain_linear = np.array(
-        [db_to_linear_f32(o.gain_db) for o in cfg.outputs], dtype=np.float32)
+        [F(o.gain_linear) if o.gain_linear is not None
+         else db_to_linear_f32(o.gain_db) for o in cfg.outputs],
+        dtype=np.float32)
 
     # dsp_update_delay_samples (dsp_pipeline.c:216-239)
     max_delay = C.MAX_DELAY_SAMPLES[cfg.platform]

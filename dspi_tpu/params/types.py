@@ -39,11 +39,18 @@ class EqBand:
 
 @dataclass
 class Crosspoint:
-    """Matrix mixer crosspoint (MatrixCrosspoint, config.h:383-389)."""
+    """Matrix mixer crosspoint (MatrixCrosspoint, config.h:383-389).
+
+    ``gain_linear`` mirrors the firmware's precomputed multiplier.  When
+    None it is derived as powf(10, db/20); preset/bulk application paths
+    set it explicitly to reproduce their distinct db->linear conversions
+    (flash_storage.c:296-306 vs bulk_params.c:49-56).
+    """
 
     enabled: bool = False
     phase_invert: bool = False
     gain_db: float = 0.0
+    gain_linear: float | None = None
 
 
 @dataclass
@@ -54,6 +61,7 @@ class OutputChannel:
     mute: bool = False
     gain_db: float = 0.0
     delay_ms: float = 0.0
+    gain_linear: float | None = None
 
 
 @dataclass
@@ -120,6 +128,29 @@ def _default_outputs(platform: Platform) -> list[OutputChannel]:
     return outs
 
 
+def default_output_pins(platform: Platform) -> list[int]:
+    """Factory pin map (apply_factory_defaults, flash_storage.c:1199-1209)."""
+    if platform is Platform.RP2350:
+        return [6, 7, 8, 9, 10]
+    return [6, 7, 10]
+
+
+@dataclass
+class HardwareConfig:
+    """Output-hardware control state (pins, S/PDIF vs I2S, MCK).
+
+    On TPU this selects output *encoders* rather than silicon, but the full
+    state is carried so presets and the bulk wire format round-trip exactly
+    (flash_storage.c PresetSlot V6/V9/V11 fields)."""
+
+    output_pins: list[int] = None          # per pin output (SPDIF..., PDM)
+    output_types: list[int] = None         # per SPDIF slot: 0=S/PDIF 1=I2S
+    i2s_bck_pin: int = 14
+    i2s_mck_pin: int = 13
+    i2s_mck_enabled: bool = False
+    i2s_mck_multiplier: int = 128          # 128 or 256
+
+
 @dataclass
 class DeviceConfig:
     """Complete control-plane state of one virtual DSPi device."""
@@ -129,6 +160,7 @@ class DeviceConfig:
 
     # input conditioning (usb_audio.c:244-269)
     preamp_db: list[float] = field(default_factory=lambda: [0.0, 0.0])
+    preamp_linear: list[float] = None               # override (see Crosspoint)
     master_volume_db: float = MASTER_VOL_DEFAULT_DB
     host_volume_index: int = CENTER_VOLUME_INDEX   # 0 silent .. 60 = 0 dB
     host_mute: bool = False
@@ -143,6 +175,16 @@ class DeviceConfig:
     loudness: LoudnessConfig = field(default_factory=LoudnessConfig)
     channel_names: list[str] = None
 
+    # per-channel delay table (vendor REQ_SET_DELAY; entries CH_OUT_1+ mirror
+    # outputs[].delay_ms per apply_slot_to_live flash_storage.c:660)
+    channel_delays_ms: list[float] = None
+
+    # persisted-but-never-applied legacy fields (SURVEY.md §9)
+    channel_gain_db: list[float] = field(default_factory=lambda: [0.0] * 3)
+    channel_mute: list[bool] = field(default_factory=lambda: [False] * 3)
+
+    hardware: HardwareConfig = None
+
     def __post_init__(self):
         nch = NUM_CHANNELS[self.platform]
         if self.eq is None:
@@ -155,6 +197,14 @@ class DeviceConfig:
             self.outputs = _default_outputs(self.platform)
         if self.channel_names is None:
             self.channel_names = default_channel_names(self.platform)
+        if self.channel_delays_ms is None:
+            self.channel_delays_ms = [0.0] * nch
+        if self.hardware is None:
+            self.hardware = HardwareConfig()
+        if self.hardware.output_pins is None:
+            self.hardware.output_pins = default_output_pins(self.platform)
+        if self.hardware.output_types is None:
+            self.hardware.output_types = [0, 0, 0, 0]
 
     # convenience -----------------------------------------------------------
     @property
@@ -173,6 +223,8 @@ class DeviceConfig:
         return dataclasses.replace(
             self,
             preamp_db=list(self.preamp_db),
+            preamp_linear=(None if self.preamp_linear is None
+                           else list(self.preamp_linear)),
             eq=[[dataclasses.replace(b) for b in ch] for ch in self.eq],
             band_counts=list(self.band_counts),
             crosspoints=[[dataclasses.replace(x) for x in row] for row in self.crosspoints],
@@ -181,6 +233,13 @@ class DeviceConfig:
             leveller=dataclasses.replace(self.leveller),
             loudness=dataclasses.replace(self.loudness),
             channel_names=list(self.channel_names),
+            channel_delays_ms=list(self.channel_delays_ms),
+            channel_gain_db=list(self.channel_gain_db),
+            channel_mute=list(self.channel_mute),
+            hardware=dataclasses.replace(
+                self.hardware,
+                output_pins=list(self.hardware.output_pins),
+                output_types=list(self.hardware.output_types)),
         )
 
 
