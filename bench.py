@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark: aggregate real-time factor of the full DSPi chain on one chip.
+
+Headline metric (BASELINE.md): audio-seconds processed per wall second per
+chip for the full 11-channel chain at 48 kHz — 10-band PEQ on all channels,
+ISO 226 loudness, volume leveller (10 ms lookahead), BS2B crossfeed, 2x9
+matrix, per-output EQ + gains + time-alignment delays, s24 conversion, and
+the 256x-oversampled delta-sigma PDM sub.  The reference firmware runs this
+at RTF 1.0 by construction; the target is >= 10,000x on one TPU v5e chip.
+
+Prints ONE JSON line.  Extra per-config results land in BENCH_DETAILS.json
+when DSPI_BENCH_FULL=1.
+
+Env knobs: DSPI_BENCH_STREAMS (default 8192), DSPI_BENCH_PACKETS (32),
+DSPI_BENCH_ITERS (8), DSPI_BENCH_UNROLL (8), DSPI_BENCH_PLATFORM (rp2350).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def full_chain_config(platform, sample_rate=48000.0, pdm=True):
+    """All 11 channels live: the baseline's headline configuration."""
+    from dspi_tpu import DeviceConfig, EqBand, FilterType
+    from dspi_tpu.params.types import Crosspoint
+
+    cfg = DeviceConfig(platform=platform, sample_rate=sample_rate)
+    nout = cfg.num_outputs
+    cfg.preamp_db = [1.0, 1.0]
+    cfg.master_volume_db = -10.0
+    cfg.host_volume_index = 57
+
+    # 10 active bands on every channel, mixed types/regions
+    types = [FilterType.HIGHPASS, FilterType.PEAKING, FilterType.PEAKING,
+             FilterType.LOWSHELF, FilterType.PEAKING, FilterType.PEAKING,
+             FilterType.PEAKING, FilterType.HIGHSHELF, FilterType.PEAKING,
+             FilterType.PEAKING]
+    freqs = [35, 80, 200, 350, 900, 2200, 4500, 8000, 11000, 15000]
+    for ch in range(cfg.num_channels):
+        for b in range(10):
+            gain = 1.5 if (ch + b) % 2 else -2.0
+            cfg.eq[ch][b] = EqBand(types[b], float(freqs[b]), 1.1, gain)
+
+    for o in range(nout):
+        cfg.outputs[o].enabled = True
+        cfg.outputs[o].gain_db = -1.0
+        cfg.outputs[o].delay_ms = 0.5 * o
+        left = o % 2 == 0
+        cfg.crosspoints[0][o] = Crosspoint(True, False, 0.0 if left else -6.0)
+        cfg.crosspoints[1][o] = Crosspoint(True, o == 3, -6.0 if left else 0.0)
+    if not pdm:
+        cfg.outputs[nout - 1].enabled = False
+    cfg.sync_delays()
+
+    cfg.loudness.enabled = True
+    cfg.crossfeed.enabled = True
+    cfg.leveller.enabled = True
+    cfg.leveller.lookahead = True
+    return cfg
+
+
+def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
+                 block=None):
+    import jax
+
+    from dspi_tpu.chain import Engine
+
+    block = block or (96 if cfg.sample_rate == 96000 else 48)
+    eng = Engine(cfg, n_streams=n_streams, block_size=block, emit="reduced",
+                 pdm=pdm, unroll=unroll, pdm_fade=False)
+    rng = np.random.default_rng(7)
+    x = rng.integers(-16000, 16000,
+                     size=(n_packets, 2, block, n_streams)).astype(np.int32)
+    x = jax.device_put(x)
+
+    out = eng.process(x)          # compile + warm
+    jax.block_until_ready(out)
+    out = eng.process(x)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eng.process(x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_sec = n_streams * n_packets * block / cfg.sample_rate
+    return audio_sec / dt, dt
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "")
+    from dspi_tpu.core.constants import Platform
+
+    platform = {"rp2350": Platform.RP2350, "rp2040": Platform.RP2040}[
+        os.environ.get("DSPI_BENCH_PLATFORM", "rp2350")]
+    B = int(os.environ.get("DSPI_BENCH_STREAMS", 8192))
+    NPKT = int(os.environ.get("DSPI_BENCH_PACKETS", 32))
+    ITERS = int(os.environ.get("DSPI_BENCH_ITERS", 8))
+    UNROLL = int(os.environ.get("DSPI_BENCH_UNROLL", 8))
+
+    cfg = full_chain_config(platform)
+    rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL)
+
+    details = {"full_chain_48k": {
+        "rtf": rtf, "streams": B, "packets": NPKT, "seg_wall_s": dt,
+        "platform": platform.value}}
+
+    if os.environ.get("DSPI_BENCH_FULL"):
+        # BASELINE.json config sweep
+        from dspi_tpu import DeviceConfig
+
+        c1 = DeviceConfig(platform=platform)          # passthrough + defaults
+        c1.eq = None; c1.__post_init__()
+        rtf1, _ = bench_engine(c1, B, NPKT, ITERS, UNROLL, pdm=False)
+        details["cfg1_passthrough"] = {"rtf": rtf1}
+
+        c2 = DeviceConfig(platform=platform)
+        from dspi_tpu import EqBand, FilterType
+        for ch in (0, 1):
+            for b in range(10):
+                c2.eq[ch][b] = EqBand(FilterType.PEAKING, 100.0 * (b + 1),
+                                      1.5, 2.0)
+        rtf2, _ = bench_engine(c2, B, NPKT, ITERS, UNROLL, pdm=False)
+        details["cfg2_peq10"] = {
+            "rtf": rtf2,
+            "peq_bands_per_sec": rtf2 * 2 * 10 * 48000}
+
+        c5 = full_chain_config(platform, sample_rate=96000.0)
+        rtf5, _ = bench_engine(c5, B, NPKT, ITERS, UNROLL)
+        details["cfg5_full_96k"] = {"rtf": rtf5}
+
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": "full 11-channel chain RTF @48kHz (audio-sec/sec/chip)",
+        "value": round(rtf, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf, 1),       # reference firmware RTF == 1.0
+    }))
+
+
+if __name__ == "__main__":
+    main()

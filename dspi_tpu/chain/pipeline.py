@@ -585,16 +585,22 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
             st = st._replace(lev_gain_db=gain_db, lev_gain=g_cur,
                              lev_gain_prev=g_prev)
 
-            # interpolated gain: g_prev + (i64(g_cur-g_prev)*i)/(T-1),
-            # C truncating division (leveller.c:352)
+            # interpolated gain: g_prev + (i64(g_cur-g_prev)*i)/(T-1) with C
+            # truncating division (leveller.c:352).  JAX has no int64 by
+            # default, so compute |diff|*i/(T-1) in uint32 via the split
+            # (a*i)//d == (a//d)*i + ((a%d)*i)//d, exact for i <= d and
+            # overflow-free since the result is <= a.
             if T == 1:
                 gains = g_cur[None]
             else:
-                i_vec = jnp.arange(T, dtype=jnp.int64)[:, None]
-                diff = (g_cur - g_prev).astype(jnp.int64)
-                prod = diff * i_vec
-                q = jnp.sign(prod) * (jnp.abs(prod) // (T - 1))
-                gains = g_prev + q.astype(jnp.int32)
+                d = np.uint32(T - 1)
+                diff = g_cur - g_prev                      # int32 wrap, as C
+                neg = diff < 0
+                a_u = jnp.where(neg, -diff, diff).astype(jnp.uint32)
+                i_vec = jnp.arange(T, dtype=jnp.uint32)[:, None]
+                res = (a_u // d) * i_vec + ((a_u % d) * i_vec) // d
+                q = res.astype(jnp.int32)
+                gains = g_prev + jnp.where(neg[None, :], -q, q)
 
             if static.leveller_lookahead:
                 la = C.LEVELLER_LOOKAHEAD_SAMPLES

@@ -533,12 +533,13 @@ def gain_design(cfg: DeviceConfig) -> GainDesign:
          else db_to_linear_f32(o.gain_db) for o in cfg.outputs],
         dtype=np.float32)
 
-    # dsp_update_delay_samples (dsp_pipeline.c:216-239)
+    # dsp_update_delay_samples (dsp_pipeline.c:216-239) — the delay source
+    # is the channel delay table, not the matrix outputs' field
     max_delay = C.MAX_DELAY_SAMPLES[cfg.platform]
     delays = np.zeros(nout, dtype=np.int32)
     fs = F(cfg.sample_rate)
     for o in range(nout):
-        delay_ms = F(cfg.outputs[o].delay_ms)
+        delay_ms = F(cfg.channel_delays_ms[C.CH_OUT_1 + o])
         if o == nout - 1:  # PDM sub path-latency compensation
             align_ms = F(C.SUB_ALIGN_SAMPLES) / fs * F(1000.0)
             delay_ms = delay_ms + align_ms

@@ -199,12 +199,21 @@ class DeviceConfig:
             self.channel_names = default_channel_names(self.platform)
         if self.channel_delays_ms is None:
             self.channel_delays_ms = [0.0] * nch
+            self.sync_delays()
         if self.hardware is None:
             self.hardware = HardwareConfig()
         if self.hardware.output_pins is None:
             self.hardware.output_pins = default_output_pins(self.platform)
         if self.hardware.output_types is None:
             self.hardware.output_types = [0, 0, 0, 0]
+
+    def sync_delays(self) -> None:
+        """Mirror outputs[].delay_ms into the channel delay table — what
+        REQ_SET_OUTPUT_DELAY does (usb_audio.c).  Note the reverse is NOT
+        done: REQ_SET_DELAY writes only channel_delays_ms, a live firmware
+        quirk the vendor layer preserves."""
+        for o in range(len(self.outputs)):
+            self.channel_delays_ms[CH_OUT_1 + o] = self.outputs[o].delay_ms
 
     # convenience -----------------------------------------------------------
     @property

@@ -1,0 +1,108 @@
+"""Multi-stream execution: sharding over device meshes and host feed.
+
+The stream axis is embarrassingly parallel (SURVEY.md §2.3): every per-
+sample recurrence is independent across streams, so multi-chip scaling is
+pure SPMD over a 1-D ``streams`` mesh with zero cross-stream collectives —
+the only communication is host feed/drain.  This module provides:
+
+  * ``make_mesh``       — 1-D device mesh over the stream axis
+  * ``shard_engine``    — place an Engine's state/params on the mesh so the
+                          jitted pipeline partitions across chips
+  * ``StreamRunner``    — asynchronous segment pump (double-buffered host
+                          feed riding JAX's async dispatch)
+
+The firmware analog of this layer is the core-1 work dispatch + DMA feed
+machinery (usb_audio.c:782-871, pdm_generator.c:427-667); on TPU none of
+the handshake exists — XLA dataflow replaces SEV/WFE.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), axis_names=("streams",))
+
+
+def _shard_last(mesh: Mesh):
+    """Shard the trailing [B] axis over the mesh; replicate scalars."""
+
+    def spec_for(x):
+        x = np.asarray(x) if not hasattr(x, "ndim") else x
+        if x.ndim == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["streams"])))
+
+    return spec_for
+
+
+def shard_engine(engine, mesh: Mesh | None = None):
+    """Move an Engine's state onto a mesh, sharded over streams.
+
+    Parameters stay replicated (they are small and shared); every state
+    array and input batch is split on its trailing stream axis.  Because
+    the pipeline has no cross-stream operations XLA partitions it with no
+    collectives at all — per-chip programs run independently over ICI-less
+    data parallelism.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    spec = _shard_last(mesh)
+    engine.state = jax.tree.map(
+        lambda x: jax.device_put(x, spec(x)) if x is not None else None,
+        engine.state)
+    repl = NamedSharding(mesh, P())
+    engine.params = jax.tree.map(
+        lambda x: jax.device_put(x, repl) if x is not None else None,
+        engine.params)
+    engine.mesh = mesh
+    return engine
+
+
+def shard_input(x, mesh: Mesh):
+    """Place an input batch [n_packets, 2, T, B] sharded over B."""
+    return jax.device_put(
+        x, NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["streams"]))))
+
+
+class StreamRunner:
+    """Asynchronous segment pump over an Engine.
+
+    JAX dispatch is async: ``feed`` enqueues device work and returns
+    immediately, so host-side packetization of segment N+1 overlaps device
+    compute of segment N — the TPU analog of the firmware's SPSC-ring
+    producer/consumer decoupling (usb_audio_ring.h:31-131), with XLA's
+    stream ordering standing in for the memory barriers.
+    """
+
+    def __init__(self, engine, mesh: Mesh | None = None, max_inflight: int = 2):
+        self.engine = engine
+        self.mesh = mesh
+        self.max_inflight = max_inflight
+        self._inflight: list = []
+
+    def feed(self, x: np.ndarray, preset_mute=None):
+        """Enqueue one segment; returns the (lazy) output dict."""
+        if self.mesh is not None:
+            x = shard_input(np.asarray(x), self.mesh)
+        out = self.engine.process(x, preset_mute)
+        self._inflight.append(out)
+        if len(self._inflight) > self.max_inflight:
+            done = self._inflight.pop(0)
+            jax.block_until_ready(done)
+            return done
+        return out
+
+    def drain(self):
+        """Wait for all enqueued segments; returns the last output."""
+        last = None
+        for out in self._inflight:
+            jax.block_until_ready(out)
+            last = out
+        self._inflight.clear()
+        return last

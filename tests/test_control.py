@@ -1,0 +1,151 @@
+"""Vendor protocol device: SET/GET round trips, interlocks, presets, bulk."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from dspi_tpu import Platform
+from dspi_tpu.control import requests as R
+from dspi_tpu.control.device import VirtualDSPi
+
+
+@pytest.fixture
+def dev():
+    return VirtualDSPi(Platform.RP2350)
+
+
+def test_eq_param_roundtrip_and_clamping(dev):
+    # Q=50 exceeds the firmware clamp of 20; freq 5 clamps to 10
+    pkt = struct.pack("<BBBBfff", 2, 0, 1, 0, 5.0, 50.0, 4.0)
+    dev.set(R.SET_EQ_PARAM, 0, pkt)
+    resp = dev.get(R.GET_EQ_PARAM, (0 << 8) | 2)
+    ch, band, typ, _, freq, q, gain = struct.unpack("<BBBBfff", resp)
+    assert (ch, band, typ) == (2, 0, 1)
+    assert freq == pytest.approx(10.0)
+    assert q == pytest.approx(20.0)
+    assert gain == pytest.approx(4.0)
+
+
+def test_preamp_and_master_volume(dev):
+    dev.set(R.SET_PREAMP_CH, 1, struct.pack("<f", -3.5))
+    assert struct.unpack("<f", dev.get(R.GET_PREAMP_CH, 1))[0] == pytest.approx(-3.5)
+    dev.set(R.SET_PREAMP, 0, struct.pack("<f", 2.0))
+    assert struct.unpack("<f", dev.get(R.GET_PREAMP_CH, 1))[0] == pytest.approx(2.0)
+
+    dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", -300.0))
+    assert struct.unpack("<f", dev.get(R.GET_MASTER_VOLUME))[0] == -128.0
+    # NaN rejected
+    dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", float("nan")))
+    assert struct.unpack("<f", dev.get(R.GET_MASTER_VOLUME))[0] == -128.0
+
+
+def test_core1_interlock(dev):
+    nout = dev.cfg.num_outputs
+    # enable an EQ-worker output, then PDM must be refused
+    dev.set(R.SET_OUTPUT_ENABLE, 2, b"\x01")
+    assert dev.get(R.GET_CORE1_MODE) == bytes([R.CORE1_MODE_EQ_WORKER])
+    dev.set(R.SET_OUTPUT_ENABLE, nout - 1, b"\x01")
+    assert dev.get(R.GET_OUTPUT_ENABLE, nout - 1) == b"\x00"
+    # disable EQ-worker output, PDM now allowed
+    dev.set(R.SET_OUTPUT_ENABLE, 2, b"\x00")
+    dev.set(R.SET_OUTPUT_ENABLE, nout - 1, b"\x01")
+    assert dev.get(R.GET_OUTPUT_ENABLE, nout - 1) == b"\x01"
+    assert dev.get(R.GET_CORE1_MODE) == bytes([R.CORE1_MODE_PDM])
+
+
+def test_matrix_and_output_controls(dev):
+    dev.set(R.SET_MATRIX_ROUTE, 0,
+            struct.pack("<BBBBf", 1, 4, 1, 1, -6.0))
+    resp = dev.get(R.GET_MATRIX_ROUTE, (4 << 8) | 1)
+    inp, out, en, ph, gdb = struct.unpack("<BBBBf", resp)
+    assert (inp, out, en, ph) == (1, 4, 1, 1)
+    assert gdb == pytest.approx(-6.0)
+
+    dev.set(R.SET_OUTPUT_GAIN, 3, struct.pack("<f", -4.5))
+    assert struct.unpack("<f", dev.get(R.GET_OUTPUT_GAIN, 3))[0] == pytest.approx(-4.5)
+    dev.set(R.SET_OUTPUT_DELAY, 3, struct.pack("<f", 12.5))
+    assert struct.unpack("<f", dev.get(R.GET_OUTPUT_DELAY, 3))[0] == pytest.approx(12.5)
+    # SET_OUTPUT_DELAY also updates the channel delay table
+    assert struct.unpack("<f", dev.get(R.GET_DELAY, 2 + 3))[0] == pytest.approx(12.5)
+    # but SET_DELAY does NOT touch the matrix output (firmware quirk)
+    dev.set(R.SET_DELAY, 2 + 3, struct.pack("<f", 1.0))
+    assert struct.unpack("<f", dev.get(R.GET_OUTPUT_DELAY, 3))[0] == pytest.approx(12.5)
+    assert struct.unpack("<f", dev.get(R.GET_DELAY, 5))[0] == pytest.approx(1.0)
+
+
+def test_preset_cycle_via_vendor(dev):
+    dev.set(R.SET_OUTPUT_GAIN, 0, struct.pack("<f", -7.0))
+    dev.set(R.PRESET_SAVE, 3)
+    dev.set(R.PRESET_SET_NAME, 3, b"Late night\x00")
+    assert dev.get(R.PRESET_GET_NAME, 3).split(b"\x00")[0] == b"Late night"
+    assert dev.get(R.PRESET_GET_ACTIVE) == b"\x03"
+
+    dev.set(R.SET_OUTPUT_GAIN, 0, struct.pack("<f", 0.0))
+    dev.set(R.PRESET_LOAD, 3)
+    assert struct.unpack("<f", dev.get(R.GET_OUTPUT_GAIN, 0))[0] == pytest.approx(-7.0)
+
+    occupied = struct.unpack("<H", dev.get(R.PRESET_GET_DIR)[:2])[0]
+    assert occupied & (1 << 3)
+    dev.set(R.PRESET_DELETE, 3)
+    occupied = struct.unpack("<H", dev.get(R.PRESET_GET_DIR)[:2])[0]
+    assert not (occupied & (1 << 3))
+
+
+def test_bulk_roundtrip_via_vendor(dev):
+    dev.set(R.SET_LEVELLER_ENABLE, 0, b"\x01")
+    dev.set(R.SET_LEVELLER_AMOUNT, 0, struct.pack("<f", 72.0))
+    blob = dev.get(R.GET_ALL_PARAMS)
+    assert len(blob) == 2896
+
+    dev2 = VirtualDSPi(Platform.RP2350)
+    dev2.set(R.SET_ALL_PARAMS, 0, blob)
+    assert dev2.cfg.leveller.enabled
+    assert dev2.cfg.leveller.amount == pytest.approx(72.0)
+
+
+def test_status_and_platform(dev):
+    pid, fw, nch = struct.unpack("<BHB", dev.get(R.GET_PLATFORM))
+    assert pid == 1 and nch == 9
+    assert fw == (1 << 8) | (1 << 4) | 3
+
+    dev.peaks = list(range(11))
+    dev.clip_flags = 0b101
+    combined = dev.get(R.GET_STATUS, 9)
+    assert len(combined) == 11 * 2 + 4
+    peaks = struct.unpack("<11H", combined[:22])
+    assert peaks == tuple(range(11))
+    assert struct.unpack("<H", combined[24:26])[0] == 0b101
+
+    assert struct.unpack("<I", dev.get(R.GET_STATUS, 13))[0] == 307_200_000
+    assert struct.unpack("<I", dev.get(R.GET_STATUS, 15))[0] == 48000
+
+    dev.set(R.CLEAR_CLIPS)
+    assert dev.clip_flags == 0
+
+
+def test_leveller_clamps(dev):
+    dev.set(R.SET_LEVELLER_AMOUNT, 0, struct.pack("<f", 250.0))
+    assert struct.unpack("<f", dev.get(R.GET_LEVELLER_AMOUNT))[0] == 100.0
+    dev.set(R.SET_LEVELLER_MAX_GAIN, 0, struct.pack("<f", 99.0))
+    assert struct.unpack("<f", dev.get(R.GET_LEVELLER_MAX_GAIN))[0] == 35.0
+
+
+def test_channel_names(dev):
+    dev.set(R.SET_CHANNEL_NAME, 4, b"Surround L\x00")
+    assert dev.get(R.GET_CHANNEL_NAME, 4).split(b"\x00")[0] == b"Surround L"
+
+
+def test_pin_validation(dev):
+    dev.set(R.SET_OUTPUT_PIN, 0, bytes([24]))      # 23-25 invalid
+    assert dev.get(R.GET_OUTPUT_PIN, 0) == bytes([6])
+    dev.set(R.SET_OUTPUT_PIN, 0, bytes([16]))
+    assert dev.get(R.GET_OUTPUT_PIN, 0) == bytes([16])
+
+
+def test_rp2040_geometry():
+    dev = VirtualDSPi(Platform.RP2040)
+    pid, fw, nch = struct.unpack("<BHB", dev.get(R.GET_PLATFORM))
+    assert pid == 0 and nch == 5
+    assert dev.get(R.GET_OUTPUT_ENABLE, 4) is not None
+    assert dev.get(R.GET_OUTPUT_ENABLE, 5) is None

@@ -90,3 +90,31 @@ def test_xorshift32_jax():
         s = qmath.xorshift32(s)
         ref = [qref.xorshift32(r) for r in ref]
         assert list(np.asarray(s)) == ref
+
+
+def test_leveller_ramp_division_exact(rng):
+    """The uint32-split truncating division in the Q28 leveller gain ramp
+    (pipeline.py) must match C's (int64)(diff*i)/(T-1) exactly."""
+    import jax.numpy as jnp
+
+    T = 48
+    d = np.uint32(T - 1)
+    diffs = np.concatenate([
+        rng.integers(-(2**31), 2**31, size=500, dtype=np.int64),
+        np.array([0, 1, -1, 2**31 - 1, -(2**31), 47, -47], dtype=np.int64),
+    ]).astype(np.int32)
+    diff = jnp.asarray(diffs)
+    neg = diff < 0
+    a_u = jnp.where(neg, -diff, diff).astype(jnp.uint32)
+    i_vec = jnp.arange(T, dtype=jnp.uint32)[:, None]
+    res = (a_u // d) * i_vec + ((a_u % d) * i_vec) // d
+    q = res.astype(jnp.int32)
+    got = np.asarray(jnp.where(neg[None, :], -q, q))
+
+    for j, dv in enumerate(diffs):
+        for i in range(0, T, 7):
+            prod = int(dv) * i
+            want = abs(prod) // (T - 1)
+            want = -want if prod < 0 else want
+            want = ((want + 2**31) % 2**32) - 2**31
+            assert got[i, j] == want, (dv, i, got[i, j], want)

@@ -48,6 +48,7 @@ def rich_config(platform: Platform, sample_rate=48000.0,
     if delays:
         cfg.outputs[0].delay_ms = 2.0
         cfg.outputs[2].delay_ms = 7.5
+        cfg.sync_delays()
     if pdm:
         cfg.outputs[nout - 1].enabled = True
         cfg.outputs[nout - 1].gain_db = -2.0
