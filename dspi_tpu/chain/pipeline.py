@@ -39,6 +39,7 @@ import numpy as np
 from jax import lax
 
 from ..core import constants as C
+from ..core import fmath
 from ..core.qmath import q15_mul, q28_mul, q28_to_s24
 from ..kernels.pdm import pdm_segment
 from .pack import (SKIP, SVF_HP, SVF_LP, SVF_PEAK, SVF_SHELF, TDF2,
@@ -272,7 +273,7 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
             ratio, max_gain, makeup = p.lev[6], p.lev[7], p.lev[8]
 
             rms_sq = jnp.maximum(env_l, env_r)
-            rms_db = 10.0 * jnp.log10(rms_sq + 1e-30)
+            rms_db = 10.0 * fmath.log10_f32(rms_sq + jnp.float32(1e-30))
             half = knee * 0.5
             d = thresh + half - rms_db
             slope = 1.0 - 1.0 / ratio
@@ -285,10 +286,10 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
             gc = jnp.where(rms_db < gate, 0.0, gc)
 
             alpha_s = jnp.where(gc < st.lev_gain_db, a_att, a_rel)
-            alpha = jnp.power(alpha_s, jnp.float32(T))
+            alpha = fmath.pow_f32(alpha_s, jnp.float32(T))
             gain_db = alpha * st.lev_gain_db + (1.0 - alpha) * gc
             gain_prev = st.lev_gain
-            gain_cur = jnp.power(jnp.float32(10.0), gain_db / 20.0)
+            gain_cur = fmath.exp10_f32(gain_db / jnp.float32(20.0))
             st = st._replace(lev_gain_db=gain_db, lev_gain=gain_cur,
                              lev_gain_prev=gain_prev)
 
@@ -565,7 +566,7 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
             thresh, knee, gate = p.lev[3], p.lev[4], p.lev[5]
             ratio, max_gain, makeup = p.lev[6], p.lev[7], p.lev[8]
             rms_sq = jnp.maximum(env_l_f, env_r_f)
-            rms_db = 10.0 * jnp.log10(rms_sq + 1e-30)
+            rms_db = 10.0 * fmath.log10_f32(rms_sq + jnp.float32(1e-30))
             half = knee * 0.5
             d = thresh + half - rms_db
             slope = 1.0 - 1.0 / ratio
@@ -577,9 +578,9 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
             gc = jnp.minimum(gc + makeup, max_gain)
             gc = jnp.where(rms_db < gate, 0.0, gc)
             alpha_s = jnp.where(gc < st.lev_gain_db, a_att, a_rel)
-            alpha = jnp.power(alpha_s, jnp.float32(T))
+            alpha = fmath.pow_f32(alpha_s, jnp.float32(T))
             gain_db = alpha * st.lev_gain_db + (1.0 - alpha) * gc
-            gain_lin = jnp.power(jnp.float32(10.0), gain_db / 20.0)
+            gain_lin = fmath.exp10_f32(gain_db / jnp.float32(20.0))
             g_prev = st.lev_gain
             g_cur = _f32_to_i32(gain_lin * jnp.float32(C.Q28_ONE))
             st = st._replace(lev_gain_db=gain_db, lev_gain=g_cur,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import constants as C
+from ..core import fmath
 from ..core.constants import FilterType, Platform
 from ..params.design import DerivedParams, derive
 from ..params.types import DeviceConfig
@@ -164,7 +165,7 @@ class GoldenDevice:
         self.lev_env[0], self.lev_env[1] = env_l, env_r
 
         rms_sq = env_l if env_l > env_r else env_r
-        rms_db = F(10.0) * np.log10(rms_sq + F(1e-30))
+        rms_db = F(10.0) * fmath.log10_f32(rms_sq + F(1e-30))
         if rms_db < co.gate_threshold_db:
             gc_db = F(0.0)
         else:
@@ -176,11 +177,11 @@ class GoldenDevice:
 
         alpha_sample = (co.alpha_attack if gc_db < self.lev_gain_smooth_db
                         else co.alpha_release)
-        alpha = np.power(alpha_sample, F(count))
+        alpha = fmath.pow_f32(alpha_sample, F(count))
         self.lev_gain_smooth_db = (alpha * self.lev_gain_smooth_db
                                    + (F(1.0) - alpha) * gc_db)
         self.lev_gain_prev_linear = self.lev_gain_linear
-        self.lev_gain_linear = np.power(F(10.0), self.lev_gain_smooth_db / F(20.0))
+        self.lev_gain_linear = fmath.exp10_f32(self.lev_gain_smooth_db / F(20.0))
 
         gain_prev, gain_cur = self.lev_gain_prev_linear, self.lev_gain_linear
         if count == 1:
@@ -294,7 +295,7 @@ class GoldenDevice:
         env_l_f = F(env_l) * inv_q28
         env_r_f = F(env_r) * inv_q28
         rms_sq = env_l_f if env_l_f > env_r_f else env_r_f
-        rms_db = F(10.0) * np.log10(rms_sq + F(1e-30))
+        rms_db = F(10.0) * fmath.log10_f32(rms_sq + F(1e-30))
         if rms_db < co.gate_threshold_db:
             gc_db = F(0.0)
         else:
@@ -305,10 +306,10 @@ class GoldenDevice:
                 gc_db = co.max_gain_db
         alpha_sample = (co.alpha_attack if gc_db < self.lev_gain_smooth_db
                         else co.alpha_release)
-        alpha = np.power(alpha_sample, F(count))
+        alpha = fmath.pow_f32(alpha_sample, F(count))
         self.lev_gain_smooth_db = (alpha * self.lev_gain_smooth_db
                                    + (F(1.0) - alpha) * gc_db)
-        gain_linear = np.power(F(10.0), self.lev_gain_smooth_db / F(20.0))
+        gain_linear = fmath.exp10_f32(self.lev_gain_smooth_db / F(20.0))
         self.lev_gain_prev_q28 = self.lev_gain_q28
         self.lev_gain_q28 = qref.f32_to_i32(gain_linear * F(C.Q28_ONE))
 

@@ -12,6 +12,9 @@ from util import golden_run, make_input, rich_config
 NPKT = 6
 BLOCK = 48
 B = 3
+# Full-chain runs must outlast the leveller's 480-sample lookahead plus the
+# longest configured delay, or the output stages only ever see zeros.
+NPKT_FULL = 16
 
 
 def _run_both(cfg, rng, n_packets=NPKT, block=BLOCK, n_streams=B,
@@ -37,12 +40,15 @@ def _stack_golden(goldens, key):
 
 def test_float_full_chain(rng):
     cfg = rich_config(Platform.RP2350)
-    out, goldens = _run_both(cfg, rng)
+    out, goldens = _run_both(cfg, rng, n_packets=NPKT_FULL, n_streams=2)
     got = np.asarray(out["out"])                        # [Npkt, nout, T, B]
     want = _stack_golden(goldens, "buf_out")
     rms_ref = np.sqrt(np.mean(want.astype(np.float64) ** 2)) + 1e-12
     rms_err = np.sqrt(np.mean((got.astype(np.float64) - want) ** 2))
-    assert rms_err / max(rms_ref, 1.0) < 1e-6, (rms_err, rms_ref)
+    # with the shared deterministic fmath the float path is bit-reproducible;
+    # keep a whisker of tolerance for backend instruction-order differences
+    assert rms_ref > 1e-4          # guard: real signal reached the outputs
+    assert rms_err / rms_ref < 1e-6, (rms_err, rms_ref)
 
     got24 = np.asarray(out["s24"])
     want24 = _stack_golden(goldens, "spdif")            # [Npkt, npair, T, 2, B]
@@ -59,9 +65,7 @@ def test_float_full_chain(rng):
                       dtype=np.uint32).reshape(-1, 8) for gs in goldens],
             axis=-1)
         mismatch = (got_pdm != want_pdm).mean()
-        # float input to the modulator may differ by 1 ulp -> a few flipped
-        # bits are acceptable on the float platform
-        assert mismatch < 0.02, mismatch
+        assert mismatch < 1e-4, mismatch
 
 
 def test_float_default_config(rng):
@@ -75,7 +79,7 @@ def test_float_default_config(rng):
 
 def test_q28_full_chain_bitexact(rng):
     cfg = rich_config(Platform.RP2040)
-    out, goldens = _run_both(cfg, rng)
+    out, goldens = _run_both(cfg, rng, n_packets=NPKT_FULL, n_streams=2)
     got = np.asarray(out["out"])
     want = _stack_golden(goldens, "buf_out")
     np.testing.assert_array_equal(got, want)
@@ -117,3 +121,12 @@ def test_peaks_and_clips(rng):
     assert got.shape == want_last.shape[1:]
     # segment max must be >= every per-packet peak report
     assert (got >= want_last.max(axis=0) - 0).all()
+
+
+def test_full_chain_signal_reaches_outputs(rng):
+    """Guard against vacuous comparisons: with enough packets the output
+    stages must carry real (nonzero) signal through lookahead + delays."""
+    cfg = rich_config(Platform.RP2040)
+    out, goldens = _run_both(cfg, rng, n_packets=NPKT_FULL, n_streams=2)
+    want = _stack_golden(goldens, "buf_out")
+    assert np.abs(want[NPKT_FULL // 2:]).max() > 0
