@@ -8,11 +8,13 @@ from ..core import constants as C
 from ..params.design import derive
 from ..params.types import DeviceConfig
 from .pack import (ChainParams, ChainState, StaticChain, build_params,
+                   build_params_multi,
                    build_static, init_state)
 from .pipeline import make_process
 
 __all__ = ["Engine", "StaticChain", "ChainParams", "ChainState",
-           "build_static", "build_params", "init_state", "make_process"]
+           "build_static", "build_params", "build_params_multi",
+           "init_state", "make_process"]
 
 
 class Engine:
@@ -37,21 +39,131 @@ class Engine:
                                 pdm_fade=pdm_fade)
         self._fn = make_process(self.static)
 
-    def update_config(self, cfg: DeviceConfig):
-        """Apply a new config.  Coefficient-only changes reuse the compiled
-        program; structural changes (enables, band types) recompile."""
+    def update_config(self, cfg: DeviceConfig, preset_load: bool = False):
+        """Apply a new config with the firmware's state-reset semantics.
+
+        Coefficient-only changes reuse the compiled program; structural
+        changes (enables, band types) recompile and migrate the state.
+        Mirrors the main-loop deferred updates (main.c:826-976):
+
+          * per-band SVF<->biquad path flips zero that band's state
+            (dsp_compute_coefficients, dsp_pipeline.c:87-92)
+          * any crossfeed change clears its filter state
+            (crossfeed_compute_coefficients, crossfeed.c:122-126)
+          * leveller enable / lookahead toggles reset the leveller
+            (leveller_reset_state; usb_audio.c leveller_reset_pending)
+          * preset load zeroes the delay lines and resets the leveller
+            (flash_storage.c:822-842)
+        """
+        import dataclasses as _dc
+
+        old_cfg, old_d, old_static = self.cfg, self.derived, self.static
         self.cfg = cfg
         self.derived = derive(cfg)
         new_static = build_static(
-            self.derived, block_size=self.static.block_size,
-            bit_depth=self.static.bit_depth, emit=self.static.emit,
-            pdm=self.static.pdm_on, unroll=self.static.unroll)
-        if new_static != self.static:
+            self.derived, block_size=old_static.block_size,
+            bit_depth=old_static.bit_depth, emit=old_static.emit,
+            pdm=old_static.pdm_on or cfg.outputs[-1].enabled,
+            unroll=old_static.unroll)
+        structural = new_static != old_static
+        if structural:
             self.static = new_static
             self._fn = make_process(self.static)
+            self.state = self._migrate_state(self.state, old_static, new_static)
         self.params = build_params(self.derived, self.static)
+
+        st = self.state
+        # SVF<->biquad path flips
+        if self.static.is_float:
+            for ch in range(cfg.num_channels):
+                for b in range(min(len(old_d.eq[ch]), len(self.derived.eq[ch]))):
+                    o, n = old_d.eq[ch][b], self.derived.eq[ch][b]
+                    if o.use_svf != n.use_svf and not n.bypass:
+                        for f in ("eq_a", "eq_b", "eq_c", "eq_d"):
+                            arr = getattr(st, f)
+                            st = st._replace(**{f: arr.at[ch, b].set(0)
+                                                if hasattr(arr, "at")
+                                                else _zero_np(arr, ch, b)})
+        # crossfeed change
+        if _dc.asdict(old_cfg.crossfeed) != _dc.asdict(cfg.crossfeed):
+            st = st._replace(xf_lp=_zeros_like(st.xf_lp),
+                             xf_ap=_zeros_like(st.xf_ap))
+        # leveller resets
+        lev_reset = (preset_load
+                     or (cfg.leveller.enabled and not old_cfg.leveller.enabled)
+                     or cfg.leveller.lookahead != old_cfg.leveller.lookahead)
+        if lev_reset:
+            st = self._reset_leveller(st)
+        if preset_load and st.delay is not None:
+            st = st._replace(delay=_zeros_like(st.delay))
+        self.state = st
+
+    def _reset_leveller(self, st):
+        """leveller_reset_state (leveller.c:95-105)."""
+        unity = (np.float32(1.0) if self.static.is_float
+                 else np.int32(C.Q28_ONE))
+        B = self.n_streams
+        one = np.full(B, unity)
+        return st._replace(
+            lev_env=_zeros_like(st.lev_env),
+            lev_gain_db=np.zeros(B, np.float32),
+            lev_gain=one.copy(), lev_gain_prev=one.copy(),
+            lev_la=None if st.lev_la is None else _zeros_like(st.lev_la),
+            lev_la_idx=np.int32(0))
+
+    def _migrate_state(self, st: ChainState, old, new) -> ChainState:
+        """Carry state across a structural recompile; geometry-dependent
+        buffers (delay rings, lookahead) are rebuilt when shapes change."""
+        fresh = init_state(new, self.n_streams)
+        updates = {}
+        for f in st._fields:
+            ov, nv = getattr(st, f), getattr(fresh, f)
+            if ov is None or nv is None:
+                updates[f] = nv
+            elif np.shape(ov) != np.shape(nv):
+                updates[f] = nv
+            else:
+                updates[f] = ov
+        return ChainState(**updates)
 
     def process(self, x: np.ndarray, preset_mute=None):
         """x: int32 [n_packets, 2, block_size, B] -> output dict."""
         self.state, out = self._fn(self.params, self.state, x, preset_mute)
         return out
+
+    # -- checkpoint / resume of runtime state ------------------------------
+    def save_state(self, path: str) -> None:
+        """Snapshot all per-stream runtime state (filter memories,
+        envelopes, delay rings, modulator state) to an .npz file."""
+        arrays = {}
+        for f in self.state._fields:
+            v = getattr(self.state, f)
+            if v is not None:
+                arrays[f] = np.asarray(v)
+        np.savez_compressed(path, **arrays)
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        updates = {}
+        for f in self.state._fields:
+            cur = getattr(self.state, f)
+            if f in data.files:
+                loaded = data[f]
+                if cur is not None and np.shape(cur) != loaded.shape:
+                    raise ValueError(
+                        f"state field {f}: shape {loaded.shape} != "
+                        f"{np.shape(cur)}")
+                updates[f] = loaded
+            else:
+                updates[f] = cur
+        self.state = ChainState(**updates)
+
+
+def _zeros_like(x):
+    return np.zeros(np.shape(x), np.asarray(x).dtype)
+
+
+def _zero_np(arr, ch, b):
+    arr = np.array(arr)
+    arr[ch, b] = 0
+    return arr

@@ -97,8 +97,8 @@ class ChainParams(NamedTuple):
     eq_f32: Any               # f32 [nch, NB, 11] (sva1..svm2, b0,b1,b2,a1,a2)
     eq_q28: Any               # i32 [nch, NB, 5]
     # PASS 2.5 leveller scalars
-    lev: Any                  # f32 [9]: a_rms, a_att, a_rel, thresh, knee,
-    #                                    gate, ratio, max_gain, makeup
+    lev: Any                  # f32 [11]: a_rms, a_att, a_rel, thresh, knee,
+    #                          gate, ratio, max_gain, makeup, slope, 1/(2*knee)
     # PASS 3 crossfeed
     xf: Any                   # f32 [3] lp_a0, lp_b1, ap_a | i32 [3]
     # PASS 4/5 gains
@@ -237,9 +237,14 @@ def build_params(d: DerivedParams, static: StaticChain) -> ChainParams:
                 eq_q28[ch, b] = [bq.qb0, bq.qb1, bq.qb2, bq.qa1, bq.qa2]
 
     lv = d.leveller
+    # precompute the gain computer's divisions host-side (IEEE numpy) so the
+    # device path is division-free and bit-identical to the golden model
+    slope = F(1.0) - F(1.0) / F(lv.ratio)
+    inv_two_knee = F(1.0) / (F(2.0) * F(lv.knee_width_db))
     lev = np.array([lv.alpha_rms, lv.alpha_attack, lv.alpha_release,
                     lv.threshold_db, lv.knee_width_db, lv.gate_threshold_db,
-                    lv.ratio, lv.max_gain_db, lv.makeup_db], np.float32)
+                    lv.ratio, lv.max_gain_db, lv.makeup_db,
+                    slope, inv_two_knee], np.float32)
 
     xf_d = d.crossfeed
     if is_float:
@@ -277,6 +282,42 @@ def build_params(d: DerivedParams, static: StaticChain) -> ChainParams:
         out_gain=g.output_gain_linear.copy(),
         delay_samples=delay_samples,
     )
+
+
+def build_params_multi(deriveds: list, static: StaticChain,
+                       stream_config_ids=None) -> ChainParams:
+    """Per-stream heterogeneous parameters.
+
+    Stacks the params of several configs on a trailing stream axis so every
+    stream in the batch can run its own coefficients/gains/delays — beyond
+    the single-config firmware, but a natural fit for batched serving.
+    All configs must share the same static structure (band kinds, enables);
+    ``build_static`` of each must equal ``static``.
+
+    ``stream_config_ids``: optional int array [B] mapping each stream to a
+    config index (default: one stream per config, B == len(deriveds)).
+    """
+    for d in deriveds:
+        s = build_static(d, block_size=static.block_size,
+                         bit_depth=static.bit_depth, emit=static.emit,
+                         pdm=static.pdm_on, unroll=static.unroll)
+        if s != static:
+            raise ValueError(
+                "heterogeneous configs must share static structure; "
+                f"mismatch for config with bands {s.band_kinds}")
+    per = [build_params(d, static) for d in deriveds]
+
+    def stack(*xs):
+        if xs[0] is None:
+            return None
+        return np.stack([np.asarray(x) for x in xs], axis=-1)
+
+    stacked = ChainParams(*[stack(*vals) for vals in zip(*per)])
+    if stream_config_ids is not None:
+        ids = np.asarray(stream_config_ids, np.int64)
+        stacked = ChainParams(*[
+            None if v is None else v[..., ids] for v in stacked])
+    return stacked
 
 
 def init_state(static: StaticChain, n_streams: int,

@@ -162,6 +162,25 @@ def _scatter_states(static, state: ChainState, bands, finals) -> ChainState:
     return state._replace(eq_a=eq_a, eq_b=eq_b, eq_c=eq_c, eq_d=eq_d)
 
 
+
+def _apply_delay(ring_k, buf, delay_idx, dly, T, D):
+    """One output's delay-line step (usb_audio.c:897-911), supporting both a
+    shared scalar delay and per-stream [B] delays."""
+    tvec = jnp.arange(T, dtype=jnp.int32)
+    idx_w = (delay_idx + tvec) % D
+    if jnp.ndim(dly) == 0:
+        ring_read = ring_k[(delay_idx + tvec - dly) % D]
+        in_block = jnp.take(buf, jnp.clip(tvec - dly, 0, T - 1), axis=0)
+        delayed = jnp.where((tvec >= dly)[:, None], in_block, ring_read)
+    else:
+        idx_r = (delay_idx + tvec[:, None] - dly[None, :]) % D
+        ring_read = jnp.take_along_axis(ring_k, idx_r, axis=0)
+        idx_b = jnp.clip(tvec[:, None] - dly[None, :], 0, T - 1)
+        in_block = jnp.take_along_axis(buf, idx_b, axis=0)
+        delayed = jnp.where(tvec[:, None] >= dly[None, :], in_block, ring_read)
+    return ring_k.at[idx_w].set(buf), delayed
+
+
 # ----------------------------------------------------------------------------
 # the segment processor
 # ----------------------------------------------------------------------------
@@ -270,17 +289,17 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
 
             a_att, a_rel = p.lev[1], p.lev[2]
             thresh, knee, gate = p.lev[3], p.lev[4], p.lev[5]
-            ratio, max_gain, makeup = p.lev[6], p.lev[7], p.lev[8]
+            max_gain, makeup = p.lev[7], p.lev[8]
+            slope, inv_two_knee = p.lev[9], p.lev[10]
 
             rms_sq = jnp.maximum(env_l, env_r)
             rms_db = 10.0 * fmath.log10_f32(rms_sq + jnp.float32(1e-30))
             half = knee * 0.5
             d = thresh + half - rms_db
-            slope = 1.0 - 1.0 / ratio
             gc = jnp.where(
                 rms_db > thresh + half, 0.0,
                 jnp.where(rms_db >= thresh - half,
-                          slope * d * d / (2.0 * knee),
+                          slope * d * d * inv_two_knee,
                           (thresh - rms_db) * slope))
             gc = jnp.minimum(gc + makeup, max_gain)
             gc = jnp.where(rms_db < gate, 0.0, gc)
@@ -289,7 +308,7 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
             alpha = fmath.pow_f32(alpha_s, jnp.float32(T))
             gain_db = alpha * st.lev_gain_db + (1.0 - alpha) * gc
             gain_prev = st.lev_gain
-            gain_cur = fmath.exp10_f32(gain_db / jnp.float32(20.0))
+            gain_cur = fmath.exp10_f32(gain_db * jnp.float32(np.float32(1.0) / np.float32(20.0)))
             st = st._replace(lev_gain_db=gain_db, lev_gain=gain_cur,
                              lev_gain_prev=gain_prev)
 
@@ -297,7 +316,8 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
             if T == 1:
                 gains = gain_cur[None]
             else:
-                step = (gain_cur - gain_prev) / jnp.float32(T - 1)
+                step = (gain_cur - gain_prev) * jnp.float32(
+                    np.float32(1.0) / np.float32(T - 1))
                 def ramp(g, _):
                     return g + step, g
                 _, gains = lax.scan(ramp, gain_prev, None, length=T,
@@ -315,7 +335,7 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
                 out_l, out_r = bl, br
 
             peak = jnp.maximum(jnp.abs(out_l), jnp.abs(out_r))
-            max_g = jnp.float32(C.LEVELLER_LIMITER_CEIL) / peak
+            max_g = fmath.det_div(jnp.float32(C.LEVELLER_LIMITER_CEIL), peak)
             cap = jnp.where(max_g > 1.0, max_g, 1.0)
             g_eff = jnp.where((peak > 0.0) & (gains > 1.0) & (max_g < gains),
                               cap, gains)
@@ -390,17 +410,11 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
         # delay lines (usb_audio.c:897-911)
         if static.delayed_outputs:
             D = static.delay_ring
-            tvec = jnp.arange(T, dtype=jnp.int32)
-            idx_w = (st.delay_idx + tvec) % D
             ring = st.delay
             for k, o in enumerate(static.delayed_outputs):
-                dly = p.delay_samples[k]
-                ring_read = ring[k, (st.delay_idx + tvec - dly) % D]
-                in_block = jnp.take(bufs[o], jnp.clip(tvec - dly, 0, T - 1),
-                                    axis=0)
-                delayed = jnp.where((tvec >= dly)[:, None], in_block, ring_read)
-                ring = ring.at[k, idx_w].set(bufs[o])
-                bufs[o] = delayed
+                ring_k, bufs[o] = _apply_delay(
+                    ring[k], bufs[o], st.delay_idx, p.delay_samples[k], T, D)
+                ring = ring.at[k].set(ring_k)
             st = st._replace(delay=ring, delay_idx=(st.delay_idx + T) % D)
 
         # peaks / clip flags
@@ -564,23 +578,23 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
             env_r_f = env_r.astype(jnp.float32) * inv_q28
             a_att, a_rel = p.lev[1], p.lev[2]
             thresh, knee, gate = p.lev[3], p.lev[4], p.lev[5]
-            ratio, max_gain, makeup = p.lev[6], p.lev[7], p.lev[8]
+            max_gain, makeup = p.lev[7], p.lev[8]
+            slope, inv_two_knee = p.lev[9], p.lev[10]
             rms_sq = jnp.maximum(env_l_f, env_r_f)
             rms_db = 10.0 * fmath.log10_f32(rms_sq + jnp.float32(1e-30))
             half = knee * 0.5
             d = thresh + half - rms_db
-            slope = 1.0 - 1.0 / ratio
             gc = jnp.where(
                 rms_db > thresh + half, 0.0,
                 jnp.where(rms_db >= thresh - half,
-                          slope * d * d / (2.0 * knee),
+                          slope * d * d * inv_two_knee,
                           (thresh - rms_db) * slope))
             gc = jnp.minimum(gc + makeup, max_gain)
             gc = jnp.where(rms_db < gate, 0.0, gc)
             alpha_s = jnp.where(gc < st.lev_gain_db, a_att, a_rel)
             alpha = fmath.pow_f32(alpha_s, jnp.float32(T))
             gain_db = alpha * st.lev_gain_db + (1.0 - alpha) * gc
-            gain_lin = fmath.exp10_f32(gain_db / jnp.float32(20.0))
+            gain_lin = fmath.exp10_f32(gain_db * jnp.float32(np.float32(1.0) / np.float32(20.0)))
             g_prev = st.lev_gain
             g_cur = _f32_to_i32(gain_lin * jnp.float32(C.Q28_ONE))
             st = st._replace(lev_gain_db=gain_db, lev_gain=g_cur,
@@ -620,7 +634,7 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                 jnp.abs(out_l.astype(jnp.float32) * inv_q28),
                 jnp.abs(out_r.astype(jnp.float32) * inv_q28))
             max_g_q28 = _f32_to_i32(
-                (jnp.float32(C.LEVELLER_LIMITER_CEIL) / peak)
+                fmath.det_div(jnp.float32(C.LEVELLER_LIMITER_CEIL), peak)
                 * jnp.float32(C.Q28_ONE))
             cap = jnp.maximum(max_g_q28, unity)
             g_eff = jnp.where(
@@ -697,17 +711,11 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
         # delay lines
         if static.delayed_outputs:
             D = static.delay_ring
-            tvec = jnp.arange(T, dtype=jnp.int32)
-            idx_w = (st.delay_idx + tvec) % D
             ring = st.delay
             for k, o in enumerate(static.delayed_outputs):
-                dly = p.delay_samples[k]
-                ring_read = ring[k, (st.delay_idx + tvec - dly) % D]
-                in_block = jnp.take(bufs[o], jnp.clip(tvec - dly, 0, T - 1),
-                                    axis=0)
-                delayed = jnp.where((tvec >= dly)[:, None], in_block, ring_read)
-                ring = ring.at[k, idx_w].set(bufs[o])
-                bufs[o] = delayed
+                ring_k, bufs[o] = _apply_delay(
+                    ring[k], bufs[o], st.delay_idx, p.delay_samples[k], T, D)
+                ring = ring.at[k].set(ring_k)
             st = st._replace(delay=ring, delay_idx=(st.delay_idx + T) % D)
 
         # peaks / clips (Q28: u16 = peak >> 13, usb_audio.c:1239)

@@ -56,7 +56,19 @@ class VirtualDSPi:
              "pdm_dma_underruns", "spdif_overruns", "spdif_underruns",
              "usb_audio_packets", "ring_overruns"], 0)
         self.dirty = False
+        self._preset_loaded = False
         self.store.boot_load(self.cfg)
+
+    def commit(self, engine) -> bool:
+        """Push accumulated config changes into an Engine — the analog of
+        the firmware main loop applying deferred vendor updates
+        (main.c:826-976).  Returns True if anything was applied."""
+        if not self.dirty:
+            return False
+        engine.update_config(self.cfg, preset_load=self._preset_loaded)
+        self.dirty = False
+        self._preset_loaded = False
+        return True
 
     # ------------------------------------------------------------------
     # firmware-equivalent derived state
@@ -219,8 +231,10 @@ class VirtualDSPi:
             self.store.save(ch, cfg)
         elif request == R.PRESET_LOAD:
             self.store.load(ch, cfg)
+            self._preset_loaded = True
         elif request == R.PRESET_DELETE:
             self.store.delete(ch, cfg)
+            self._preset_loaded = True
         elif request == R.PRESET_SET_NAME:
             nm = payload.split(b"\x00")[0].decode("ascii", "replace")
             self.store.set_name(ch, nm)
@@ -234,8 +248,10 @@ class VirtualDSPi:
             self.store.save(self.store.get_active(), cfg)
         elif request == R.LOAD_PARAMS:
             self.store.load(self.store.get_active(), cfg)
+            self._preset_loaded = True
         elif request == R.FACTORY_RESET:
             self.store.factory_defaults(cfg)
+            self._preset_loaded = True
         elif request == R.CLEAR_CLIPS:
             self.clip_flags = 0
             self.dirty = False

@@ -65,6 +65,27 @@ def _bitcast_f32(x, xp):
     return jax.lax.bitcast_convert_type(x, np.float32)
 
 
+def det_recip(b):
+    """Deterministic 1/b built only from mul/sub (exponent-flip seed plus
+    three Newton steps).  Hardware / XLA division is NOT correctly rounded
+    and differs between backends, so every data-dependent division on an
+    exactness-critical path goes through this instead.  Max error ~2 ulp;
+    identical bits on numpy, XLA CPU and TPU."""
+    xp = _mods(b)
+    b = xp.asarray(b, np.float32)
+    seed = _bitcast_f32(np.int32(0x7EF311C3) - _bitcast_i32(b, xp), xp)
+    r = seed * (F(2.0) - b * seed)
+    r = r * (F(2.0) - b * r)
+    r = r * (F(2.0) - b * r)
+    return r
+
+
+def det_div(a, b):
+    """Deterministic a/b (see det_recip)."""
+    xp = _mods(a)
+    return xp.asarray(a, np.float32) * det_recip(b)
+
+
 def log2_f32(x):
     """Deterministic float32 log2 for x > 0 (finite, normal)."""
     xp = _mods(x)
@@ -77,7 +98,7 @@ def log2_f32(x):
     m = xp.where(big, m * F(0.5), m)
     e = e + big.astype(np.int32)
 
-    z = (m - F(1.0)) / (m + F(1.0))
+    z = (m - F(1.0)) * det_recip(m + F(1.0))
     z2 = z * z
     p = _LOG2_C9
     p = p * z2 + _LOG2_C7

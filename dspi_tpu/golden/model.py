@@ -181,13 +181,13 @@ class GoldenDevice:
         self.lev_gain_smooth_db = (alpha * self.lev_gain_smooth_db
                                    + (F(1.0) - alpha) * gc_db)
         self.lev_gain_prev_linear = self.lev_gain_linear
-        self.lev_gain_linear = fmath.exp10_f32(self.lev_gain_smooth_db / F(20.0))
+        self.lev_gain_linear = fmath.exp10_f32(self.lev_gain_smooth_db * (F(1.0) / F(20.0)))
 
         gain_prev, gain_cur = self.lev_gain_prev_linear, self.lev_gain_linear
         if count == 1:
             gain, gain_step = gain_cur, F(0.0)
         else:
-            gain_step = (gain_cur - gain_prev) / F(count - 1)
+            gain_step = (gain_cur - gain_prev) * (F(1.0) / F(count - 1))
             gain = gain_prev
         ceil = F(C.LEVELLER_LIMITER_CEIL)
         use_la = cfg.lookahead
@@ -209,7 +209,7 @@ class GoldenDevice:
                 peak = pr
             g = gain
             if peak > F(0.0) and g > F(1.0):
-                max_g = ceil / peak
+                max_g = fmath.det_div(ceil, peak)
                 if max_g < g:
                     g = max_g if max_g > F(1.0) else F(1.0)
             bl[i] = out_l * g
@@ -309,7 +309,7 @@ class GoldenDevice:
         alpha = fmath.pow_f32(alpha_sample, F(count))
         self.lev_gain_smooth_db = (alpha * self.lev_gain_smooth_db
                                    + (F(1.0) - alpha) * gc_db)
-        gain_linear = fmath.exp10_f32(self.lev_gain_smooth_db / F(20.0))
+        gain_linear = fmath.exp10_f32(self.lev_gain_smooth_db * (F(1.0) / F(20.0)))
         self.lev_gain_prev_q28 = self.lev_gain_q28
         self.lev_gain_q28 = qref.f32_to_i32(gain_linear * F(C.Q28_ONE))
 
@@ -339,7 +339,7 @@ class GoldenDevice:
                 if pr > peak:
                     peak = pr
                 if peak > F(0.0):
-                    max_g_f = ceil / peak
+                    max_g_f = fmath.det_div(ceil, peak)
                     max_g_q28 = qref.f32_to_i32(max_g_f * F(unity))
                     if max_g_q28 < gain:
                         gain = max_g_q28 if max_g_q28 > unity else unity
@@ -733,14 +733,21 @@ class GoldenDevice:
 
 
 def _gain_computer(x_db, threshold, ratio, knee_width):
-    """Upward-compression gain computer (leveller.c:124-139), float32."""
+    """Upward-compression gain computer (leveller.c:124-139), float32.
+
+    Division-free form shared with the device path: the slope and knee
+    reciprocals are precomputed with IEEE numpy division (host), because
+    XLA backend division is not correctly rounded (see core/fmath.py).
+    Differs from the firmware's in-loop divisions by <= 1 ulp."""
     half_knee = knee_width * F(0.5)
+    slope = F(1.0) - F(1.0) / ratio
+    inv_two_knee = F(1.0) / (F(2.0) * knee_width)
     if x_db > (threshold + half_knee):
         return F(0.0)
     if x_db >= (threshold - half_knee):
         d = threshold + half_knee - x_db
-        return (F(1.0) - F(1.0) / ratio) * d * d / (F(2.0) * knee_width)
-    return (threshold - x_db) * (F(1.0) - F(1.0) / ratio)
+        return slope * d * d * inv_two_knee
+    return (threshold - x_db) * slope
 
 
 def _div_trunc(a: int, b: int) -> int:
