@@ -83,14 +83,18 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
     out = eng.process(x)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    # Block on EVERY call: on tunneled backends, blocking only on the last
+    # output of an enqueued chain under-reports massively.  Take the best
+    # round to reject host-side noise.
+    best = float("inf")
+    for _ in range(max(iters, 2)):
+        t0 = time.perf_counter()
         out = eng.process(x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
 
     audio_sec = n_streams * n_packets * block / cfg.sample_rate
-    return audio_sec / dt, dt
+    return audio_sec / best, best
 
 
 def main():
@@ -100,7 +104,7 @@ def main():
     platform = {"rp2350": Platform.RP2350, "rp2040": Platform.RP2040}[
         os.environ.get("DSPI_BENCH_PLATFORM", "rp2350")]
     B = int(os.environ.get("DSPI_BENCH_STREAMS", 8192))
-    NPKT = int(os.environ.get("DSPI_BENCH_PACKETS", 32))
+    NPKT = int(os.environ.get("DSPI_BENCH_PACKETS", 64))
     ITERS = int(os.environ.get("DSPI_BENCH_ITERS", 8))
     UNROLL = int(os.environ.get("DSPI_BENCH_UNROLL", 8))
 
@@ -134,6 +138,10 @@ def main():
         c5 = full_chain_config(platform, sample_rate=96000.0)
         rtf5, _ = bench_engine(c5, B, NPKT, ITERS, UNROLL)
         details["cfg5_full_96k"] = {"rtf": rtf5}
+
+        cq = full_chain_config(Platform.RP2040)
+        rtfq, _ = bench_engine(cq, B, NPKT, ITERS, UNROLL)
+        details["full_chain_48k_q28"] = {"rtf": rtfq}
 
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)

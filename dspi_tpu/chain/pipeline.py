@@ -163,22 +163,20 @@ def _scatter_states(static, state: ChainState, bands, finals) -> ChainState:
 
 
 
-def _apply_delay(ring_k, buf, delay_idx, dly, T, D):
-    """One output's delay-line step (usb_audio.c:897-911), supporting both a
-    shared scalar delay and per-stream [B] delays."""
+def _delay_read(ring_k, buf, delay_idx, dly, T, D):
+    """One output's delayed read (usb_audio.c:897-911): supports a shared
+    scalar delay or per-stream [B] delays.  The ring WRITE is done by the
+    caller with a row scatter (write indices never depend on the delay)."""
     tvec = jnp.arange(T, dtype=jnp.int32)
-    idx_w = (delay_idx + tvec) % D
     if jnp.ndim(dly) == 0:
         ring_read = ring_k[(delay_idx + tvec - dly) % D]
         in_block = jnp.take(buf, jnp.clip(tvec - dly, 0, T - 1), axis=0)
-        delayed = jnp.where((tvec >= dly)[:, None], in_block, ring_read)
-    else:
-        idx_r = (delay_idx + tvec[:, None] - dly[None, :]) % D
-        ring_read = jnp.take_along_axis(ring_k, idx_r, axis=0)
-        idx_b = jnp.clip(tvec[:, None] - dly[None, :], 0, T - 1)
-        in_block = jnp.take_along_axis(buf, idx_b, axis=0)
-        delayed = jnp.where(tvec[:, None] >= dly[None, :], in_block, ring_read)
-    return ring_k.at[idx_w].set(buf), delayed
+        return jnp.where((tvec >= dly)[:, None], in_block, ring_read)
+    idx_r = (delay_idx + tvec[:, None] - dly[None, :]) % D
+    ring_read = jnp.take_along_axis(ring_k, idx_r, axis=0)
+    idx_b = jnp.clip(tvec[:, None] - dly[None, :], 0, T - 1)
+    in_block = jnp.take_along_axis(buf, idx_b, axis=0)
+    return jnp.where(tvec[:, None] >= dly[None, :], in_block, ring_read)
 
 
 # ----------------------------------------------------------------------------
@@ -411,10 +409,12 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
         if static.delayed_outputs:
             D = static.delay_ring
             ring = st.delay
+            idx_w = (st.delay_idx + jnp.arange(T, dtype=jnp.int32)) % D
             for k, o in enumerate(static.delayed_outputs):
-                ring_k, bufs[o] = _apply_delay(
-                    ring[k], bufs[o], st.delay_idx, p.delay_samples[k], T, D)
-                ring = ring.at[k].set(ring_k)
+                delayed = _delay_read(ring[k], bufs[o], st.delay_idx,
+                                      p.delay_samples[k], T, D)
+                ring = ring.at[k, idx_w].set(bufs[o])
+                bufs[o] = delayed
             st = st._replace(delay=ring, delay_idx=(st.delay_idx + T) % D)
 
         # peaks / clip flags
@@ -712,10 +712,12 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
         if static.delayed_outputs:
             D = static.delay_ring
             ring = st.delay
+            idx_w = (st.delay_idx + jnp.arange(T, dtype=jnp.int32)) % D
             for k, o in enumerate(static.delayed_outputs):
-                ring_k, bufs[o] = _apply_delay(
-                    ring[k], bufs[o], st.delay_idx, p.delay_samples[k], T, D)
-                ring = ring.at[k].set(ring_k)
+                delayed = _delay_read(ring[k], bufs[o], st.delay_idx,
+                                      p.delay_samples[k], T, D)
+                ring = ring.at[k, idx_w].set(bufs[o])
+                bufs[o] = delayed
             st = st._replace(delay=ring, delay_idx=(st.delay_idx + T) % D)
 
         # peaks / clips (Q28: u16 = peak >> 13, usb_audio.c:1239)
