@@ -106,7 +106,7 @@ def main():
     B = int(os.environ.get("DSPI_BENCH_STREAMS", 8192))
     NPKT = int(os.environ.get("DSPI_BENCH_PACKETS", 64))
     ITERS = int(os.environ.get("DSPI_BENCH_ITERS", 8))
-    UNROLL = int(os.environ.get("DSPI_BENCH_UNROLL", 8))
+    UNROLL = int(os.environ.get("DSPI_BENCH_UNROLL", 48))
 
     cfg = full_chain_config(platform)
     rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL)

@@ -1,0 +1,155 @@
+"""Pallas TPU kernel for the PDM delta-sigma modulator.
+
+Same exact semantics as kernels/pdm.py (pdm_generator.c:349-397) but as a
+hand-scheduled TPU kernel: the per-stream modulator state lives in VMEM
+across the whole segment, the 256-bit inner loop is straight-line vector
+code, and the only HBM traffic is the Q28 input stream in and the packed
+PDM words out.
+
+Grid: (stream_tiles, time_chunks) — time innermost.  The state block's
+index map depends only on the stream tile, so Pallas keeps it resident in
+VMEM across consecutive time chunks (the revisiting/accumulator pattern)
+and flushes it once per stream tile.
+
+State layout: int32 [16, B] rows:
+  0 err, 1 err2, 2 ns_x1, 3 ns_x2, 4 ns_y1, 5 ns_y2, 6 ns_acc,
+  7 rng (uint32 bits), 8 fade, 9..15 padding (sublane alignment).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import constants as C
+
+_SRL = lax.shift_right_logical
+_SRA = lax.shift_right_arithmetic
+
+
+def _modulate_sample(x_t, err, err2, x1, x2, y1, y2, acc, rng, fade):
+    """One PCM sample -> 8 words.  Exact firmware arithmetic on int32."""
+    pcm = jnp.clip(_SRA(x_t, 14), -C.PDM_CLIP_THRESH, C.PDM_CLIP_THRESH)
+    fading = fade < C.PDM_FADE_IN_SAMPLES
+    pcm = jnp.where(fading, _SRA(pcm * fade, C.PDM_FADE_IN_SHIFT), pcm)
+    fade = jnp.where(fading, fade + 1, fade)
+    target = pcm + 32768
+
+    words = []
+    for _c in range(C.PDM_CHUNKS):
+        # xorshift32 on int32 bits (shifts are bit-identical to uint32)
+        rng = rng ^ (rng << 13)
+        rng = rng ^ _SRL(rng, 17)
+        rng = rng ^ (rng << 5)
+        raw = (rng & C.PDM_DITHER_MASK) - (C.PDM_DITHER_MASK >> 1)
+
+        # noise-shaped dither (pdm_generator.c:89-108)
+        acc = _SRA(acc * 248, 8) + _SRA(_SRA(err2, 8), 6)
+        inp = raw - acc
+        total = (C.PDM_NS_B0 * inp + C.PDM_NS_B1 * x1 + C.PDM_NS_B2 * x2
+                 + C.PDM_NS_A1 * y1 - C.PDM_NS_A2 * y2)
+        dither = _SRA(total, 14)
+        x2 = x1
+        x1 = inp
+        y2 = y1
+        y1 = dither
+
+        word = jnp.zeros_like(err)
+        for _k in range(32):
+            u = err2 + dither
+            m = _SRA(u, 31)                  # 0 if u>=0 else -1
+            bit = m + 1                      # 1 if u>=0 else 0
+            fb = jnp.int32(65535) & ~m       # 65535 if u>=0 else 0
+            word = word + word + bit
+            err = err + (target - fb)
+            err2 = err2 + (err - fb)
+        words.append(word)
+
+    err = err - _SRA(err, C.PDM_LEAKAGE_SHIFT)
+    err2 = err2 - _SRA(err2, C.PDM_LEAKAGE_SHIFT)
+    return words, (err, err2, x1, x2, y1, y2, acc, rng, fade)
+
+
+def _pdm_kernel(x_ref, state_ref, words_ref, state_out_ref, *, tc):
+    t_chunk = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(t_chunk == 0)
+    def _():
+        state_out_ref[:] = state_ref[:]
+
+    st = tuple(state_out_ref[i] for i in range(9))
+
+    def body(i, carry):
+        words, carry = _modulate_sample(x_ref[i], *carry)
+        for c, w in enumerate(words):
+            words_ref[i, c] = w
+        return carry
+
+    st = lax.fori_loop(0, tc, body, st)
+    for i, v in enumerate(st):
+        state_out_ref[i] = v
+
+
+@functools.partial(jax.jit, static_argnames=("tc", "bt", "interpret"))
+def pdm_segment_pallas(x, state16, tc: int = 128, bt: int = 1024,
+                       interpret: bool = False):
+    """x: int32 [Ttot, B]; state16: int32 [16, B].
+    Returns (words uint32 [Ttot, 8, B], state16').  Ttot % tc == 0 and
+    B % bt == 0 required."""
+    ttot, b = x.shape
+    assert ttot % tc == 0 and b % bt == 0, (ttot, tc, b, bt)
+    grid = (b // bt, ttot // tc)
+
+    words, state_out = pl.pallas_call(
+        functools.partial(_pdm_kernel, tc=tc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tc, bt), lambda bi, ti: (ti, bi)),
+            pl.BlockSpec((16, bt), lambda bi, ti: (0, bi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tc, 8, bt), lambda bi, ti: (ti, 0, bi)),
+            pl.BlockSpec((16, bt), lambda bi, ti: (0, bi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ttot, 8, b), jnp.int32),
+            jax.ShapeDtypeStruct((16, b), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, state16)
+    return words.astype(jnp.uint32), state_out
+
+
+def pack_pdm_state(state) -> jnp.ndarray:
+    """ChainState pdm fields -> int32 [16, B] kernel layout."""
+    b = state.pdm_err.shape[0]
+    rows = [state.pdm_err, state.pdm_err2,
+            state.pdm_ns[0], state.pdm_ns[1], state.pdm_ns[2],
+            state.pdm_ns[3], state.pdm_ns[4],
+            state.pdm_rng.astype(jnp.int32), state.pdm_fade]
+    z = jnp.zeros((7, b), jnp.int32)
+    return jnp.concatenate([jnp.stack(rows), z], axis=0)
+
+
+def unpack_pdm_state(state, s16):
+    return state._replace(
+        pdm_err=s16[0], pdm_err2=s16[1],
+        pdm_ns=s16[2:7],
+        pdm_rng=s16[7].astype(jnp.uint32), pdm_fade=s16[8])
+
+
+def pdm_segment_fast(state, x, tc: int = 128, bt: int = 1024,
+                     interpret: bool = False):
+    """Drop-in for kernels.pdm.pdm_segment using the Pallas kernel.
+    Returns (state', words uint32 [Ttot, 8, B])."""
+    s16 = pack_pdm_state(state)
+    words, s16b = pdm_segment_pallas(x, s16, tc=tc, bt=bt,
+                                     interpret=interpret)
+    return unpack_pdm_state(state, s16b), words
