@@ -78,19 +78,20 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
                      size=(n_packets, 2, block, n_streams)).astype(np.int32)
     x = jax.device_put(x)
 
-    out = eng.process(x)          # compile + warm
-    jax.block_until_ready(out)
-    out = eng.process(x)
-    jax.block_until_ready(out)
+    def consume(out):
+        # Force a real device->host read of every output: on tunneled
+        # backends block_until_ready can return before execution finishes,
+        # which fabricates absurd throughput numbers.
+        return sum(float(np.asarray(leaf).reshape(-1)[0])
+                   for leaf in jax.tree.leaves(out))
 
-    # Block on EVERY call: on tunneled backends, blocking only on the last
-    # output of an enqueued chain under-reports massively.  Take the best
-    # round to reject host-side noise.
+    consume(eng.process(x))       # compile + warm
+    consume(eng.process(x))
+
     best = float("inf")
     for _ in range(max(iters, 2)):
         t0 = time.perf_counter()
-        out = eng.process(x)
-        jax.block_until_ready(out)
+        consume(eng.process(x))
         best = min(best, time.perf_counter() - t0)
 
     audio_sec = n_streams * n_packets * block / cfg.sample_rate
