@@ -26,14 +26,14 @@ class Engine:
 
     def __init__(self, cfg: DeviceConfig, n_streams: int, block_size: int = 48,
                  bit_depth: int = 16, emit: str = "full", pdm: bool = True,
-                 unroll: int = 8, pdm_fade: bool = True,
-                 pdm_seed=C.PDM_RNG_SEED):
+                 unroll: int = 8, outer_unroll: int = 1,
+                 pdm_fade: bool = True, pdm_seed=C.PDM_RNG_SEED):
         self.cfg = cfg
         self.n_streams = n_streams
         self.derived = derive(cfg)
         self.static = build_static(self.derived, block_size=block_size,
                                    bit_depth=bit_depth, emit=emit, pdm=pdm,
-                                   unroll=unroll)
+                                   unroll=unroll, outer_unroll=outer_unroll)
         self.params = build_params(self.derived, self.static)
         self.state = init_state(self.static, n_streams, pdm_seed=pdm_seed,
                                 pdm_fade=pdm_fade)
@@ -64,7 +64,7 @@ class Engine:
             self.derived, block_size=old_static.block_size,
             bit_depth=old_static.bit_depth, emit=old_static.emit,
             pdm=old_static.pdm_on or cfg.outputs[-1].enabled,
-            unroll=old_static.unroll)
+            unroll=old_static.unroll, outer_unroll=old_static.outer_unroll)
         structural = new_static != old_static
         if structural:
             self.static = new_static

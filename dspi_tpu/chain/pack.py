@@ -78,6 +78,7 @@ class StaticChain:
     pdm_on: bool                       # modulate the sub output
     emit: str = "full"                 # "full" | "reduced"
     unroll: int = 8
+    outer_unroll: int = 1              # packet-loop unroll
 
     @property
     def is_float(self) -> bool:
@@ -136,7 +137,7 @@ class ChainState(NamedTuple):
 
 def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
                  emit: str = "full", pdm: bool = True,
-                 unroll: int = 8) -> StaticChain:
+                 unroll: int = 8, outer_unroll: int = 1) -> StaticChain:
     cfg = d.config
     nout = cfg.num_outputs
     is_float = cfg.platform is Platform.RP2350
@@ -188,6 +189,7 @@ def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
         pdm_on=bool(pdm and g.output_enabled[nout - 1]),
         emit=emit,
         unroll=unroll,
+        outer_unroll=outer_unroll,
     )
 
 

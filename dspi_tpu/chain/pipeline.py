@@ -454,7 +454,7 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
         return st, ys
 
     state, (out_full, s24_out, peaks_pkts, sub_all) = lax.scan(
-        packet_step, state, (x, preset_mute))
+        packet_step, state, (x, preset_mute), unroll=static.outer_unroll)
 
     outputs = {}
     # peak u16 conversion (usb_audio.c:841,921): trunc(min(1,peak)*32767)
@@ -756,7 +756,7 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
         return st, ys
 
     state, (out_full, s24_out, peaks_pkts, sub_all) = lax.scan(
-        packet_step, state, (x, preset_mute))
+        packet_step, state, (x, preset_mute), unroll=static.outer_unroll)
 
     outputs = {}
     seg_peaks = jnp.max(peaks_pkts, axis=0)

@@ -13,6 +13,20 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon environment programmatically forces its own platform and the
+# terminal overrides XLA_FLAGS, so env vars alone are ignored — force the
+# CPU platform and the 8-device count through jax.config (must run before
+# backend initialization).  Set DSPI_TEST_TPU=1 to run the suite against
+# the real accelerator instead.
+import jax  # noqa: E402
+
+if not os.environ.get("DSPI_TEST_TPU"):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
