@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Per-stage microbenchmarks on the real TPU: where does the time go?
+
+Usage:  python bench_stages.py [stage ...]
+Stages: pdm chain nopdm passthrough peq full96 q28 sweep
+Env:    DSPI_BENCH_STREAMS, DSPI_BENCH_PACKETS, DSPI_BENCH_UNROLL,
+        DSPI_PDM_IMPL, DSPI_PDM_UNROLL
+
+Honest methodology (see memory notes): every timed call forces a
+device->host read of a scalar from each output, because on tunneled
+backends block_until_ready can return early.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "")
+
+import jax                                                   # noqa: E402
+import jax.numpy as jnp                                      # noqa: E402
+
+from bench import bench_engine, full_chain_config            # noqa: E402
+
+B = int(os.environ.get("DSPI_BENCH_STREAMS", 8192))
+NPKT = int(os.environ.get("DSPI_BENCH_PACKETS", 64))
+UNROLL = int(os.environ.get("DSPI_BENCH_UNROLL", 48))
+ITERS = int(os.environ.get("DSPI_BENCH_ITERS", 6))
+RATE = 48000.0
+
+
+def consume(out):
+    return sum(float(np.asarray(leaf).reshape(-1)[0])
+               for leaf in jax.tree.leaves(out))
+
+
+def timeit(fn, *args):
+    consume(fn(*args))
+    consume(fn(*args))
+    best = float("inf")
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        consume(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None):
+    """PDM modulator alone: [T, B] Q28 -> words, reduced output."""
+    from dspi_tpu.chain.pack import ChainState
+    from dspi_tpu.kernels.pdm import pdm_segment
+
+    unroll = unroll if unroll is not None else int(
+        os.environ.get("DSPI_PDM_UNROLL", 1))
+    impl = impl or os.environ.get("DSPI_PDM_IMPL", "unrolled")
+
+    rng = np.random.default_rng(3)
+    x = jax.device_put(
+        rng.integers(-(1 << 27), 1 << 27, size=(t, b)).astype(np.int32))
+    st = dict(
+        pdm_err=jnp.zeros(b, jnp.int32), pdm_err2=jnp.zeros(b, jnp.int32),
+        pdm_ns=jnp.zeros((5, b), jnp.int32),
+        pdm_rng=jnp.full(b, 123456789, jnp.uint32),
+        pdm_fade=jnp.full(b, 1024, jnp.int32))
+    fields = [f for f in ChainState._fields if f not in st]
+    state = ChainState(**st, **{f: None for f in fields})
+
+    @jax.jit
+    def run(state, x):
+        s, words = pdm_segment(state, x, unroll=unroll, impl=impl)
+        return (s.pdm_err, s.pdm_err2, s.pdm_rng,
+                jnp.sum(words, dtype=jnp.uint32))
+
+    best = timeit(run, state, x)
+    rtf = b * t / RATE / best
+    return rtf, best
+
+
+def main():
+    stages = sys.argv[1:] or ["pdm", "chain", "nopdm", "passthrough", "peq"]
+    from dspi_tpu import DeviceConfig, EqBand, FilterType
+    from dspi_tpu.core.constants import Platform
+
+    out = {"B": B, "NPKT": NPKT, "UNROLL": UNROLL,
+           "backend": jax.default_backend()}
+
+    for s in stages:
+        t0 = time.time()
+        if s == "pdm":
+            rtf, dt = bench_pdm()
+            out["pdm_alone"] = {"rtf": rtf, "wall": dt}
+        elif s == "pdm_sweep":
+            for b in (8192, 16384, 32768, 65536):
+                for u in (1, 4, 8):
+                    rtf, dt = bench_pdm(b=b, unroll=u)
+                    out[f"pdm_B{b}_u{u}"] = {"rtf": rtf, "wall": dt}
+                    print(f"pdm B={b} unroll={u}: {rtf:.0f}x", flush=True)
+        elif s == "chain":
+            cfg = full_chain_config(Platform.RP2350)
+            rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL)
+            out["full_chain"] = {"rtf": rtf, "wall": dt}
+        elif s == "nopdm":
+            cfg = full_chain_config(Platform.RP2350)
+            rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL, pdm=False)
+            out["chain_no_pdm"] = {"rtf": rtf, "wall": dt}
+        elif s == "passthrough":
+            c1 = DeviceConfig(platform=Platform.RP2350)
+            c1.eq = None
+            c1.__post_init__()
+            rtf, dt = bench_engine(c1, B, NPKT, ITERS, UNROLL, pdm=False)
+            out["passthrough"] = {"rtf": rtf, "wall": dt}
+        elif s == "peq":
+            c2 = DeviceConfig(platform=Platform.RP2350)
+            for ch in (0, 1):
+                for b_ in range(10):
+                    c2.eq[ch][b_] = EqBand(FilterType.PEAKING,
+                                           100.0 * (b_ + 1), 1.5, 2.0)
+            rtf, dt = bench_engine(c2, B, NPKT, ITERS, UNROLL, pdm=False)
+            out["peq10"] = {"rtf": rtf, "wall": dt}
+        elif s == "full96":
+            cfg = full_chain_config(Platform.RP2350, sample_rate=96000.0)
+            rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL)
+            out["full_96k"] = {"rtf": rtf, "wall": dt}
+        elif s == "q28":
+            cfg = full_chain_config(Platform.RP2040)
+            rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL)
+            out["full_chain_q28"] = {"rtf": rtf, "wall": dt}
+        else:
+            print(f"unknown stage {s}", file=sys.stderr)
+            continue
+        print(f"[{s}] done in {time.time()-t0:.0f}s", flush=True)
+
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,12 +7,26 @@ One call processes a *segment* of ``n_packets`` emulated USB packets of
 
     x: int32 [n_packets, 2, block_size, B]  ->  outputs [..., B]
 
-Per-sample recurrences (IIR filters, crossfeed, envelopes) run as
-``lax.scan`` over the time axis with every carried state shaped [B], so a
-single recurrence step is one wide VPU op across all streams.  Block-scoped
-firmware semantics (the leveller's once-per-packet gain computer and its
-interpolated application) are preserved by scanning over packets at the
-outer level — exactly the firmware's packet cadence.
+The segment is flattened to time-major [Ttot, B] up front.  Everything
+stateless — unpack, preamp, matrix mix, output gains, delay reads/writes,
+lookahead shifting, the leveller's limiter, s24 conversion, peak metering —
+runs as whole-segment vectorized ops.  Only the true per-sample recurrences
+march through ``lax.scan`` over the time axis, with every carried state
+shaped [B] so a single recurrence step is one wide VPU op across streams:
+
+  scan A   loudness shelves + master EQ + leveller RMS envelope
+  scan L   leveller per-packet gain smoothing (n_packets steps)
+  scan R   leveller gain ramp (block_size steps, vectorized over packets)
+  scan X   crossfeed (stereo-coupled 1-pole + allpass)
+  scan B   per-output EQ
+
+Block-scoped firmware semantics are preserved exactly: the leveller's
+once-per-packet gain computer reads the RMS envelope at each packet
+boundary (sliced from scan A's per-sample emission), its denormal flush
+fires only on boundary samples (a packet-end flag inside scan A), and the
+per-packet gain ramp accumulates sequentially within each packet — the
+ramp scan carries [n_packets, B] so all packets ramp in parallel while
+each reproduces the firmware's float accumulation order.
 
 The sample-level arithmetic is the firmware's, op for op:
 
@@ -54,6 +68,19 @@ def _f32_to_i32(x):
     x = jnp.where(jnp.isnan(x), 0.0, x)
     out = jnp.trunc(x.clip(-2147483648.0, 2147483520.0)).astype(jnp.int32)
     return jnp.where(x >= 2147483648.0, jnp.int32(2**31 - 1), out)
+
+
+# Float-path rounding contract: XLA's backends may contract a float
+# ``a*b + c`` into a fused multiply-add inside a fusion (observed on
+# XLA:CPU for the flat matrix mix: the emitted code computes
+# fma(bl, gl, round(br*gr)), a 1-ulp difference from rounding each
+# product).  This is not preventable at the HLO level — optimization
+# barriers and identity reduce_precision are stripped before codegen — and
+# the firmware's own compiler (gcc -mcpu=cortex-m33, default
+# -ffp-contract=fast with VFMA hardware) contracts too.  The float path is
+# therefore *ulp-faithful*, not bit-frozen: device vs golden is asserted
+# at <=1e-6 relative RMS (the firmware-fidelity budget), while the Q28
+# path stays strictly bit-exact (integer ops never contract).
 
 
 # ----------------------------------------------------------------------------
@@ -162,11 +189,12 @@ def _scatter_states(static, state: ChainState, bands, finals) -> ChainState:
     return state._replace(eq_a=eq_a, eq_b=eq_b, eq_c=eq_c, eq_d=eq_d)
 
 
-
 def _delay_read(ring_k, buf, delay_idx, dly, T, D):
-    """One output's delayed read (usb_audio.c:897-911): supports a shared
-    scalar delay or per-stream [B] delays.  The ring WRITE is done by the
-    caller with a row scatter (write indices never depend on the delay)."""
+    """One output's delayed read over a whole segment (usb_audio.c:897-911):
+    samples older than the segment come from the ring, newer ones straight
+    from the in-segment buffer.  Supports a shared scalar delay or
+    per-stream [B] delays.  The ring WRITE is done by the caller with a row
+    scatter (write indices never depend on the delay)."""
     tvec = jnp.arange(T, dtype=jnp.int32)
     if jnp.ndim(dly) == 0:
         ring_read = ring_k[(delay_idx + tvec - dly) % D]
@@ -177,6 +205,27 @@ def _delay_read(ring_k, buf, delay_idx, dly, T, D):
     idx_b = jnp.clip(tvec[:, None] - dly[None, :], 0, T - 1)
     in_block = jnp.take_along_axis(buf, idx_b, axis=0)
     return jnp.where(tvec[:, None] >= dly[None, :], in_block, ring_read)
+
+
+def _ring_write(ring_k, buf, delay_idx, Ttot, D):
+    """Scatter the last min(D, Ttot) segment samples into the ring.  The
+    write positions are distinct by construction, so the scatter order is
+    deterministic."""
+    n = min(D, Ttot)
+    pos = (delay_idx + jnp.arange(Ttot - n, Ttot, dtype=jnp.int32)) % D
+    return ring_k.at[pos].set(buf[Ttot - n:])
+
+
+def _flatten_time(x):
+    """[Npkt, 2, T, B] -> [2, Npkt*T, B] (time-major segment view)."""
+    n, _, t, b = x.shape
+    return jnp.swapaxes(x, 0, 1).reshape(2, n * t, b)
+
+
+def _unflatten(arrs, Npkt, T):
+    """[K, Ttot, B] -> [Npkt, K, T, B] for emit='full' compatibility."""
+    k, _, b = arrs.shape
+    return jnp.moveaxis(arrs.reshape(k, Npkt, T, b), 1, 0)
 
 
 # ----------------------------------------------------------------------------
@@ -202,40 +251,61 @@ def make_process(static: StaticChain):
     return process
 
 
+def _chain_structure(static: StaticChain):
+    """Shared static analysis of which bands/outputs are live."""
+    nout = static.n_outputs
+    master_bands = _active_bands(
+        static, [ch for ch in (0, 1)
+                 if not static.bypass_master_eq and not static.channel_bypassed[ch]])
+    if static.is_float:
+        out_channels = [
+            C.CH_OUT_1 + o for o in range(nout)
+            if static.output_enabled[o] and not static.output_mute[o]
+            and not static.channel_bypassed[C.CH_OUT_1 + o]]
+    else:
+        # NOTE: on RP2040 bypass_master_eq gates per-output EQ too
+        # (usb_audio.c:1200)
+        out_channels = [] if static.bypass_master_eq else [
+            C.CH_OUT_1 + o for o in range(nout)
+            if static.output_enabled[o] and not static.output_mute[o]
+            and not static.channel_bypassed[C.CH_OUT_1 + o]]
+    return master_bands, _active_bands(static, out_channels)
+
+
 # ---------------------------- float path -----------------------------------
 
 
 def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
                    x, preset_mute):
     T = static.block_size
+    Npkt = x.shape[0]
+    Ttot = Npkt * T
     nout = static.n_outputs
     ns2 = static.n_spdif * 2
-    master_bands = _active_bands(
-        static, [ch for ch in (0, 1)
-                 if not static.bypass_master_eq and not static.channel_bypassed[ch]])
-    out_channels = [
-        C.CH_OUT_1 + o for o in range(nout)
-        if static.output_enabled[o] and not static.output_mute[o]
-        and not static.channel_bypassed[C.CH_OUT_1 + o]]
-    out_bands = _active_bands(static, out_channels)
-
+    master_bands, out_bands = _chain_structure(static)
     unroll = static.unroll
+    st = state
 
-    def packet_step(carry, xs):
-        st: ChainState = carry
-        x_pkt, pm_gain = xs                     # [2, T, B], scalar
+    # per-packet volume staging (usb_audio.c:569-574), [Npkt, 1|B]
+    vol_mul_master = (p.vol_mul * preset_mute[:, None]) * p.master_vol
 
-        vol_mul = p.vol_mul * pm_gain
-        vol_mul_master = vol_mul * p.master_vol
+    # ---- PASS 1: unpack + preamp (usb_audio.c:678-686), whole segment ----
+    x2 = _flatten_time(x)
+    bl = x2[0].astype(jnp.float32) * p.unpack_gain[0]
+    br = x2[1].astype(jnp.float32) * p.unpack_gain[1]
 
-        # ---- PASS 1: unpack + preamp (usb_audio.c:678-686) ----
-        xl = x_pkt[0].astype(jnp.float32) * p.unpack_gain[0]
-        xr = x_pkt[1].astype(jnp.float32) * p.unpack_gain[1]
+    # ---- scan A: loudness + master EQ + leveller envelope ----
+    if static.loudness_on or master_bands or static.leveller_on:
+        # the env denormal flush (leveller.c:154-156) fires once per packet,
+        # on the boundary sample
+        pkt_end = (jnp.arange(Ttot, dtype=jnp.int32) % T) == (T - 1)
 
-        # ---- scan A: loudness + master EQ + leveller envelope ----
         def scan_a(carry_a, xt):
             loud, eqs, env = carry_a
-            l_t, r_t = xt
+            if static.leveller_on:
+                l_t, r_t, end_t = xt
+            else:
+                l_t, r_t = xt
             if static.loudness_on:
                 loud_n = []
                 for chi, cur in ((0, l_t), (1, r_t)):
@@ -262,15 +332,25 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
                 a = p.lev[0]
                 env = (a * env[0] + (1.0 - a) * (l_t * l_t),
                        a * env[1] + (1.0 - a) * (r_t * r_t))
-            return (loud, tuple(eqs_n), env), (l_t, r_t)
+                env = (jnp.where(end_t & (env[0] < 1e-30), 0.0, env[0]),
+                       jnp.where(end_t & (env[1] < 1e-30), 0.0, env[1]))
+                ys = (l_t, r_t, env[0], env[1])
+            else:
+                ys = (l_t, r_t)
+            return (loud, tuple(eqs_n), env), ys
 
         loud0 = tuple(
             (st.loud_a[chi, j], st.loud_b[chi, j])
             for chi in range(2) for j in range(2))
         eqs0 = _gather_states(static, st, master_bands)
         env0 = (st.lev_env[0], st.lev_env[1])
-        (loudF, eqsF, envF), (bl, br) = lax.scan(
-            scan_a, (loud0, eqs0, env0), (xl, xr), unroll=unroll)
+        xs = (bl, br, pkt_end) if static.leveller_on else (bl, br)
+        (loudF, eqsF, envF), ys = lax.scan(
+            scan_a, (loud0, eqs0, env0), xs, unroll=unroll)
+        if static.leveller_on:
+            bl, br, env_seq_l, env_seq_r = ys
+        else:
+            bl, br = ys
 
         st = st._replace(
             loud_a=jnp.stack([jnp.stack([loudF[0][0], loudF[1][0]]),
@@ -279,205 +359,220 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
                               jnp.stack([loudF[2][1], loudF[3][1]])]))
         st = _scatter_states(static, st, master_bands, eqsF)
 
-        # ---- PASS 2.5 leveller block phase (leveller.c:147-262) ----
-        if static.leveller_on:
-            env_l = jnp.where(envF[0] < 1e-30, 0.0, envF[0])
-            env_r = jnp.where(envF[1] < 1e-30, 0.0, envF[1])
-            st = st._replace(lev_env=jnp.stack([env_l, env_r]))
+    # ---- PASS 2.5 leveller block phase (leveller.c:147-262) ----
+    if static.leveller_on:
+        # per-packet boundary envelopes (already denormal-flushed in scan A)
+        env_l = env_seq_l[T - 1::T]                     # [Npkt, B]
+        env_r = env_seq_r[T - 1::T]
+        st = st._replace(lev_env=jnp.stack([env_l[-1], env_r[-1]]))
 
-            a_att, a_rel = p.lev[1], p.lev[2]
-            thresh, knee, gate = p.lev[3], p.lev[4], p.lev[5]
-            max_gain, makeup = p.lev[7], p.lev[8]
-            slope, inv_two_knee = p.lev[9], p.lev[10]
+        a_att, a_rel = p.lev[1], p.lev[2]
+        thresh, knee, gate = p.lev[3], p.lev[4], p.lev[5]
+        max_gain, makeup = p.lev[7], p.lev[8]
+        slope, inv_two_knee = p.lev[9], p.lev[10]
 
-            rms_sq = jnp.maximum(env_l, env_r)
-            rms_db = 10.0 * fmath.log10_f32(rms_sq + jnp.float32(1e-30))
-            half = knee * 0.5
-            d = thresh + half - rms_db
-            gc = jnp.where(
-                rms_db > thresh + half, 0.0,
-                jnp.where(rms_db >= thresh - half,
-                          slope * d * d * inv_two_knee,
-                          (thresh - rms_db) * slope))
-            gc = jnp.minimum(gc + makeup, max_gain)
-            gc = jnp.where(rms_db < gate, 0.0, gc)
+        # gain computer, vectorized over packets
+        rms_sq = jnp.maximum(env_l, env_r)
+        rms_db = 10.0 * fmath.log10_f32(rms_sq + jnp.float32(1e-30))
+        half = knee * 0.5
+        d = thresh + half - rms_db
+        gc = jnp.where(
+            rms_db > thresh + half, 0.0,
+            jnp.where(rms_db >= thresh - half,
+                      slope * d * d * inv_two_knee,
+                      (thresh - rms_db) * slope))
+        gc = jnp.minimum(gc + makeup, max_gain)
+        gc = jnp.where(rms_db < gate, 0.0, gc)          # [Npkt, B]
 
-            alpha_s = jnp.where(gc < st.lev_gain_db, a_att, a_rel)
-            alpha = fmath.pow_f32(alpha_s, jnp.float32(T))
-            gain_db = alpha * st.lev_gain_db + (1.0 - alpha) * gc
-            gain_prev = st.lev_gain
-            gain_cur = fmath.exp10_f32(gain_db * jnp.float32(np.float32(1.0) / np.float32(20.0)))
-            st = st._replace(lev_gain_db=gain_db, lev_gain=gain_cur,
-                             lev_gain_prev=gain_prev)
+        # block-rate attack/release smoothing: a recurrence over packets.
+        # alpha^count correction (leveller.c:223-227) hoisted: pow of the
+        # selected scalar == select of the pows.
+        pow_att = fmath.pow_f32(a_att, jnp.float32(T))
+        pow_rel = fmath.pow_f32(a_rel, jnp.float32(T))
+        inv20 = jnp.float32(np.float32(1.0) / np.float32(20.0))
 
-            # gain ramp with the firmware's sequential accumulation
-            if T == 1:
-                gains = gain_cur[None]
-            else:
-                step = (gain_cur - gain_prev) * jnp.float32(
-                    np.float32(1.0) / np.float32(T - 1))
-                def ramp(g, _):
-                    return g + step, g
-                _, gains = lax.scan(ramp, gain_prev, None, length=T,
-                                    unroll=unroll)
+        def lev_step(carry, gc_k):
+            gdb, g = carry
+            alpha = jnp.where(gc_k < gdb, pow_att, pow_rel)
+            gdb_n = alpha * gdb + (1.0 - alpha) * gc_k
+            g_cur = fmath.exp10_f32(gdb_n * inv20)
+            return (gdb_n, g_cur), (g, g_cur)
 
-            if static.leveller_lookahead:
-                la = C.LEVELLER_LOOKAHEAD_SAMPLES
-                idx = (st.lev_la_idx + jnp.arange(T, dtype=jnp.int32)) % la
-                out_l = st.lev_la[0, idx]
-                out_r = st.lev_la[1, idx]
-                lev_la = st.lev_la.at[0, idx].set(bl).at[1, idx].set(br)
-                st = st._replace(lev_la=lev_la,
-                                 lev_la_idx=(st.lev_la_idx + T) % la)
-            else:
-                out_l, out_r = bl, br
+        (gdbF, gF), (g_prev_p, g_cur_p) = lax.scan(
+            lev_step, (st.lev_gain_db, st.lev_gain), gc)
+        st = st._replace(lev_gain_db=gdbF, lev_gain=gF,
+                         lev_gain_prev=g_prev_p[-1])
 
-            peak = jnp.maximum(jnp.abs(out_l), jnp.abs(out_r))
-            max_g = fmath.det_div(jnp.float32(C.LEVELLER_LIMITER_CEIL), peak)
-            cap = jnp.where(max_g > 1.0, max_g, 1.0)
-            g_eff = jnp.where((peak > 0.0) & (gains > 1.0) & (max_g < gains),
-                              cap, gains)
-            bl = out_l * g_eff
-            br = out_r * g_eff
-
-        # ---- PASS 3: master peaks (pre-crossfeed) + crossfeed ----
-        peak_ml = jnp.max(jnp.abs(bl), axis=0)
-        peak_mr = jnp.max(jnp.abs(br), axis=0)
-
-        if static.crossfeed_on:
-            lp_a0, lp_b1, ap_a = p.xf[0], p.xf[1], p.xf[2]
-
-            def xf_body(cxf, xt):
-                lpL, lpR, apL, apR = cxf
-                ml, mr = xt
-                lp_l = lp_a0 * ml + lp_b1 * lpL
-                lp_r = lp_a0 * mr + lp_b1 * lpR
-                ap_l = ap_a * lp_l + apL
-                apL_n = lp_l - ap_a * ap_l
-                ap_r = ap_a * lp_r + apR
-                apR_n = lp_r - ap_a * ap_r
-                return ((lp_l, lp_r, apL_n, apR_n),
-                        ((ml - lp_l) + ap_r, (mr - lp_r) + ap_l))
-
-            xf0 = (st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1])
-            (lpL, lpR, apL, apR), (bl, br) = lax.scan(
-                xf_body, xf0, (bl, br), unroll=unroll)
-            st = st._replace(xf_lp=jnp.stack([lpL, lpR]),
-                             xf_ap=jnp.stack([apL, apR]))
-
-        # ---- PASS 4: matrix mix (usb_audio.c:751-779) ----
-        bufs = []
-        for o in range(nout):
-            if not static.output_enabled[o]:
-                bufs.append(jnp.zeros_like(bl))
-                continue
-            gl, gr = p.matrix_gain[0, o], p.matrix_gain[1, o]
-            both = bl * gl + br * gr
-            dst = jnp.where(
-                (gl != 0.0) & (gr != 0.0), both,
-                jnp.where(gl != 0.0, bl * gl,
-                          jnp.where(gr != 0.0, br * gr, 0.0)))
-            bufs.append(dst)
-
-        # ---- PASS 5: per-output EQ ----
-        if out_bands:
-            def scan_b(eqs, xt):
-                eqs_n = list(eqs)
-                outs = list(xt)
-                for i, (ch, band, kind) in enumerate(out_bands):
-                    o = ch - C.CH_OUT_1
-                    outs[o], eqs_n[i] = _band_step_f32(
-                        kind, p.eq_f32[ch, band], eqs[i], outs[o])
-                return tuple(eqs_n), tuple(outs)
-
-            eqs0b = _gather_states(static, st, out_bands)
-            eqsFb, outs = lax.scan(scan_b, eqs0b, tuple(bufs), unroll=unroll)
-            st = _scatter_states(static, st, out_bands, eqsFb)
-            bufs = list(outs)
-
-        # output gains (usb_audio.c:885-894)
-        for o in range(nout):
-            if not static.output_enabled[o]:
-                continue
-            if static.output_mute[o]:
-                bufs[o] = jnp.zeros_like(bufs[o])
-                continue
-            gain = p.out_gain[o] * vol_mul_master
-            bufs[o] = jnp.where(gain == 0.0, 0.0, bufs[o] * gain)
-
-        # delay lines (usb_audio.c:897-911)
-        if static.delayed_outputs:
-            D = static.delay_ring
-            ring = st.delay
-            idx_w = (st.delay_idx + jnp.arange(T, dtype=jnp.int32)) % D
-            for k, o in enumerate(static.delayed_outputs):
-                delayed = _delay_read(ring[k], bufs[o], st.delay_idx,
-                                      p.delay_samples[k], T, D)
-                ring = ring.at[k, idx_w].set(bufs[o])
-                bufs[o] = delayed
-            st = st._replace(delay=ring, delay_idx=(st.delay_idx + T) % D)
-
-        # peaks / clip flags
-        peaks = [peak_ml, peak_mr]
-        for o in range(ns2):
-            peaks.append(jnp.max(jnp.abs(bufs[o]), axis=0))
-        if static.output_enabled[nout - 1]:
-            peaks.append(jnp.max(jnp.abs(bufs[nout - 1]), axis=0))
+        # gain ramp with the firmware's sequential accumulation, all
+        # packets in parallel
+        if T == 1:
+            gains = g_cur_p.reshape(Ttot, -1)
         else:
-            peaks.append(jnp.zeros_like(peak_ml))
-        peaks = jnp.stack(peaks)                  # [nch', B] float
-        clip = st.clip_flags
-        for chi in range(peaks.shape[0]):
-            ch_bit = chi if chi < 2 + ns2 else static.n_channels - 1
-            clip = clip | jnp.where(peaks[chi] > C.CLIP_THRESH_F,
-                                    jnp.int32(1 << ch_bit), 0)
-        st = st._replace(clip_flags=clip)
+            step = (g_cur_p - g_prev_p) * jnp.float32(
+                np.float32(1.0) / np.float32(T - 1))
 
-        # S/PDIF conversion (usb_audio.c:934-940)
-        s24 = []
-        for pair in range(static.n_spdif):
-            lch, rch = pair * 2, pair * 2 + 1
-            on = static.output_enabled[lch] or static.output_enabled[rch]
-            for chn in (lch, rch):
-                if on:
-                    dl = jnp.clip(bufs[chn], -1.0, 1.0)
-                    s24.append(_f32_to_i32(dl * jnp.float32(8388607.0)))
-                else:
-                    s24.append(jnp.zeros(bufs[chn].shape, jnp.int32))
-        s24 = jnp.stack(s24)                      # [ns2, T, B]
+            def ramp(g, _):
+                return g + step, g
 
-        sub = bufs[nout - 1]
-        if static.emit == "full":
-            ys = (jnp.stack(bufs), s24, peaks, sub)
+            _, gains_t = lax.scan(ramp, g_prev_p, None, length=T,
+                                  unroll=unroll)
+            gains = jnp.swapaxes(gains_t, 0, 1).reshape(Ttot, -1)
+
+        if static.leveller_lookahead:
+            la = C.LEVELLER_LOOKAHEAD_SAMPLES
+            tvec = jnp.arange(Ttot, dtype=jnp.int32)
+            rpos = (st.lev_la_idx + tvec) % la
+            late = (tvec >= la)[:, None]
+            sel = jnp.clip(tvec - la, 0, Ttot - 1)
+            out_l = jnp.where(late, jnp.take(bl, sel, axis=0),
+                              st.lev_la[0, rpos])
+            out_r = jnp.where(late, jnp.take(br, sel, axis=0),
+                              st.lev_la[1, rpos])
+            lev_la = jnp.stack([_ring_write(st.lev_la[0], bl, st.lev_la_idx,
+                                            Ttot, la),
+                                _ring_write(st.lev_la[1], br, st.lev_la_idx,
+                                            Ttot, la)])
+            st = st._replace(lev_la=lev_la,
+                             lev_la_idx=(st.lev_la_idx + Ttot) % la)
         else:
-            ys = (None, jnp.sum(s24.astype(jnp.int32), axis=1), peaks, sub)
-        return st, ys
+            out_l, out_r = bl, br
 
-    state, (out_full, s24_out, peaks_pkts, sub_all) = lax.scan(
-        packet_step, state, (x, preset_mute), unroll=static.outer_unroll)
+        peak = jnp.maximum(jnp.abs(out_l), jnp.abs(out_r))
+        max_g = fmath.det_div(jnp.float32(C.LEVELLER_LIMITER_CEIL), peak)
+        cap = jnp.where(max_g > 1.0, max_g, 1.0)
+        g_eff = jnp.where((peak > 0.0) & (gains > 1.0) & (max_g < gains),
+                          cap, gains)
+        bl = out_l * g_eff
+        br = out_r * g_eff
+
+    # ---- PASS 3: master peaks (pre-crossfeed) + crossfeed ----
+    peak_ml = jnp.max(jnp.abs(bl), axis=0)               # [B]
+    peak_mr = jnp.max(jnp.abs(br), axis=0)
+
+    if static.crossfeed_on:
+        lp_a0, lp_b1, ap_a = p.xf[0], p.xf[1], p.xf[2]
+
+        def xf_body(cxf, xt):
+            lpL, lpR, apL, apR = cxf
+            ml, mr = xt
+            lp_l = lp_a0 * ml + lp_b1 * lpL
+            lp_r = lp_a0 * mr + lp_b1 * lpR
+            ap_l = ap_a * lp_l + apL
+            apL_n = lp_l - ap_a * ap_l
+            ap_r = ap_a * lp_r + apR
+            apR_n = lp_r - ap_a * ap_r
+            return ((lp_l, lp_r, apL_n, apR_n),
+                    ((ml - lp_l) + ap_r, (mr - lp_r) + ap_l))
+
+        xf0 = (st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1])
+        (lpL, lpR, apL, apR), (bl, br) = lax.scan(
+            xf_body, xf0, (bl, br), unroll=unroll)
+        st = st._replace(xf_lp=jnp.stack([lpL, lpR]),
+                         xf_ap=jnp.stack([apL, apR]))
+
+    # ---- PASS 4: matrix mix (usb_audio.c:751-779) ----
+    bufs = []
+    for o in range(nout):
+        if not static.output_enabled[o]:
+            bufs.append(jnp.zeros_like(bl))
+            continue
+        gl, gr = p.matrix_gain[0, o], p.matrix_gain[1, o]
+        both = bl * gl + br * gr
+        dst = jnp.where(
+            (gl != 0.0) & (gr != 0.0), both,
+            jnp.where(gl != 0.0, bl * gl,
+                      jnp.where(gr != 0.0, br * gr, 0.0)))
+        bufs.append(dst)
+
+    # ---- PASS 5: per-output EQ ----
+    if out_bands:
+        def scan_b(eqs, xt):
+            eqs_n = list(eqs)
+            outs = list(xt)
+            for i, (ch, band, kind) in enumerate(out_bands):
+                o = ch - C.CH_OUT_1
+                outs[o], eqs_n[i] = _band_step_f32(
+                    kind, p.eq_f32[ch, band], eqs[i], outs[o])
+            return tuple(eqs_n), tuple(outs)
+
+        eqs0b = _gather_states(static, st, out_bands)
+        eqsFb, outs = lax.scan(scan_b, eqs0b, tuple(bufs), unroll=unroll)
+        st = _scatter_states(static, st, out_bands, eqsFb)
+        bufs = list(outs)
+
+    # output gains (usb_audio.c:885-894); gain varies per packet through
+    # the preset-mute envelope
+    for o in range(nout):
+        if not static.output_enabled[o]:
+            continue
+        if static.output_mute[o]:
+            bufs[o] = jnp.zeros_like(bufs[o])
+            continue
+        gain = p.out_gain[o] * vol_mul_master            # [Npkt, 1|B]
+        g3 = gain[:, None, :]
+        b3 = bufs[o].reshape(Npkt, T, -1)
+        bufs[o] = jnp.where(g3 == 0.0, 0.0, b3 * g3).reshape(Ttot, -1)
+
+    # delay lines (usb_audio.c:897-911)
+    if static.delayed_outputs:
+        D = static.delay_ring
+        ring = st.delay
+        for k, o in enumerate(static.delayed_outputs):
+            delayed = _delay_read(ring[k], bufs[o], st.delay_idx,
+                                  p.delay_samples[k], Ttot, D)
+            ring = ring.at[k].set(
+                _ring_write(ring[k], bufs[o], st.delay_idx, Ttot, D))
+            bufs[o] = delayed
+        st = st._replace(delay=ring, delay_idx=(st.delay_idx + Ttot) % D)
+
+    # peaks / clip flags (sticky over the segment == sticky per packet)
+    peaks = [peak_ml, peak_mr]
+    for o in range(ns2):
+        peaks.append(jnp.max(jnp.abs(bufs[o]), axis=0))
+    if static.output_enabled[nout - 1]:
+        peaks.append(jnp.max(jnp.abs(bufs[nout - 1]), axis=0))
+    else:
+        peaks.append(jnp.zeros_like(peak_ml))
+    peaks = jnp.stack(peaks)                             # [nch', B]
+    clip = st.clip_flags
+    for chi in range(peaks.shape[0]):
+        ch_bit = chi if chi < 2 + ns2 else static.n_channels - 1
+        clip = clip | jnp.where(peaks[chi] > C.CLIP_THRESH_F,
+                                jnp.int32(1 << ch_bit), 0)
+    st = st._replace(clip_flags=clip)
+
+    # S/PDIF conversion (usb_audio.c:934-940)
+    s24 = []
+    for pair in range(static.n_spdif):
+        lch, rch = pair * 2, pair * 2 + 1
+        on = static.output_enabled[lch] or static.output_enabled[rch]
+        for chn in (lch, rch):
+            if on:
+                dl = jnp.clip(bufs[chn], -1.0, 1.0)
+                s24.append(_f32_to_i32(dl * jnp.float32(8388607.0)))
+            else:
+                s24.append(jnp.zeros(bufs[chn].shape, jnp.int32))
+    s24 = jnp.stack(s24)                                 # [ns2, Ttot, B]
 
     outputs = {}
     # peak u16 conversion (usb_audio.c:841,921): trunc(min(1,peak)*32767)
-    seg_peaks = jnp.max(peaks_pkts, axis=0)
     outputs["peaks"] = jnp.trunc(
-        jnp.minimum(1.0, seg_peaks) * 32767.0).astype(jnp.int32)
+        jnp.minimum(1.0, peaks) * 32767.0).astype(jnp.int32)
     if static.emit == "full":
-        outputs["out"] = out_full                 # [Npkt, nout, T, B]
-        outputs["s24"] = s24_out                  # [Npkt, ns2, T, B]
+        outputs["out"] = _unflatten(jnp.stack(bufs), Npkt, T)
+        outputs["s24"] = _unflatten(s24, Npkt, T)
     else:
-        outputs["s24_sum"] = jnp.sum(s24_out, axis=0)
+        outputs["s24_sum"] = jnp.sum(s24, axis=1)
 
     if static.pdm_on:
-        Npkt = x.shape[0]
-        sub_flat = sub_all.reshape(Npkt * static.block_size, -1)
-        sub_q28 = _f32_to_i32(sub_flat * jnp.float32(1 << 28))
-        state, words = pdm_segment(state, sub_q28)
+        sub_q28 = _f32_to_i32(bufs[nout - 1] * jnp.float32(1 << 28))
+        st, words = pdm_segment(st, sub_q28)
         if static.emit == "full":
-            outputs["pdm"] = words                # [Ttot, 8, B] uint32
+            outputs["pdm"] = words                       # [Ttot, 8, B] uint32
         else:
             outputs["pdm_sum"] = jnp.sum(words, axis=(0, 1), dtype=jnp.uint32)
 
-    return state, outputs
+    return st, outputs
 
 
 # ---------------------------- Q28 path -------------------------------------
@@ -486,39 +581,30 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
 def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                  x, preset_mute):
     T = static.block_size
+    Npkt = x.shape[0]
+    Ttot = Npkt * T
     nout = static.n_outputs
     ns2 = static.n_spdif * 2
-    master_bands = _active_bands(
-        static, [ch for ch in (0, 1)
-                 if not static.bypass_master_eq and not static.channel_bypassed[ch]])
-    # NOTE: on RP2040 bypass_master_eq gates per-output EQ too (usb_audio.c:1200)
-    out_channels = [] if static.bypass_master_eq else [
-        C.CH_OUT_1 + o for o in range(nout)
-        if static.output_enabled[o] and not static.output_mute[o]
-        and not static.channel_bypassed[C.CH_OUT_1 + o]]
-    out_bands = _active_bands(static, out_channels)
+    master_bands, out_bands = _chain_structure(static)
     unroll = static.unroll
+    st = state
 
-    def packet_step(carry, xs):
-        st: ChainState = carry
-        x_pkt, pm_gain = xs
+    # per-packet volume staging (usb_audio.c:975-980), [Npkt, 1|B]
+    pm_q15 = jnp.clip(_f32_to_i32(preset_mute * 32768.0 + 0.5), 0, 32768)
+    vol_mul = q15_mul(p.vol_mul, pm_q15[:, None])
+    vol_mul_master = q15_mul(vol_mul, p.master_vol)
 
-        # volume staging (usb_audio.c:975-980)
-        pm_q15 = jnp.clip(_f32_to_i32(pm_gain * 32768.0 + 0.5), 0, 32768)
-        vol_mul = q15_mul(p.vol_mul, pm_q15)
-        vol_mul_master = q15_mul(vol_mul, p.master_vol)
+    # ---- PASS 1: unpack + preamp (usb_audio.c:996-1015), whole segment ----
+    x2 = _flatten_time(x)
+    if static.bit_depth == 24:
+        raw = (x2 << 8) >> 2
+    else:
+        raw = x2 << 14
+    bl = q28_mul(raw[0], p.unpack_gain[0])
+    br = q28_mul(raw[1], p.unpack_gain[1])
 
-        # ---- PASS 1: unpack + preamp (usb_audio.c:996-1015) ----
-        if static.bit_depth == 24:
-            raw_l = (x_pkt[0] << 8) >> 2
-            raw_r = (x_pkt[1] << 8) >> 2
-        else:
-            raw_l = x_pkt[0] << 14
-            raw_r = x_pkt[1] << 14
-        xl = q28_mul(raw_l, p.unpack_gain[0])
-        xr = q28_mul(raw_r, p.unpack_gain[1])
-
-        # ---- scan A: loudness + master EQ + leveller env ----
+    # ---- scan A: loudness + master EQ + leveller env ----
+    if static.loudness_on or master_bands or static.leveller_on:
         if static.leveller_on:
             a_rms_q28 = _f32_to_i32(p.lev[0] * jnp.float32(1 << 28))
             one_minus = jnp.int32(C.Q28_ONE) - a_rms_q28
@@ -552,15 +638,22 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                 sq_r = q28_mul(r_t, r_t)
                 env = (q28_mul(a_rms_q28, env[0]) + q28_mul(one_minus, sq_l),
                        q28_mul(a_rms_q28, env[1]) + q28_mul(one_minus, sq_r))
-            return (loud, tuple(eqs_n), env), (l_t, r_t)
+                ys = (l_t, r_t, env[0], env[1])
+            else:
+                ys = (l_t, r_t)
+            return (loud, tuple(eqs_n), env), ys
 
         loud0 = tuple(
             (st.loud_a[chi, j], st.loud_b[chi, j])
             for chi in range(2) for j in range(2))
         eqs0 = _gather_states(static, st, master_bands)
         env0 = (st.lev_env[0], st.lev_env[1])
-        (loudF, eqsF, envF), (bl, br) = lax.scan(
-            scan_a, (loud0, eqs0, env0), (xl, xr), unroll=unroll)
+        (loudF, eqsF, envF), ys = lax.scan(
+            scan_a, (loud0, eqs0, env0), (bl, br), unroll=unroll)
+        if static.leveller_on:
+            bl, br, env_seq_l, env_seq_r = ys
+        else:
+            bl, br = ys
 
         st = st._replace(
             loud_a=jnp.stack([jnp.stack([loudF[0][0], loudF[1][0]]),
@@ -569,211 +662,221 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                               jnp.stack([loudF[2][1], loudF[3][1]])]))
         st = _scatter_states(static, st, master_bands, eqsF)
 
-        # ---- PASS 2.5 leveller block phase (leveller.c:274-389) ----
-        if static.leveller_on:
-            env_l, env_r = envF
-            st = st._replace(lev_env=jnp.stack([env_l, env_r]))
-            inv_q28 = jnp.float32(1.0) / jnp.float32(1 << 28)
-            env_l_f = env_l.astype(jnp.float32) * inv_q28
-            env_r_f = env_r.astype(jnp.float32) * inv_q28
-            a_att, a_rel = p.lev[1], p.lev[2]
-            thresh, knee, gate = p.lev[3], p.lev[4], p.lev[5]
-            max_gain, makeup = p.lev[7], p.lev[8]
-            slope, inv_two_knee = p.lev[9], p.lev[10]
-            rms_sq = jnp.maximum(env_l_f, env_r_f)
-            rms_db = 10.0 * fmath.log10_f32(rms_sq + jnp.float32(1e-30))
-            half = knee * 0.5
-            d = thresh + half - rms_db
-            gc = jnp.where(
-                rms_db > thresh + half, 0.0,
-                jnp.where(rms_db >= thresh - half,
-                          slope * d * d * inv_two_knee,
-                          (thresh - rms_db) * slope))
-            gc = jnp.minimum(gc + makeup, max_gain)
-            gc = jnp.where(rms_db < gate, 0.0, gc)
-            alpha_s = jnp.where(gc < st.lev_gain_db, a_att, a_rel)
-            alpha = fmath.pow_f32(alpha_s, jnp.float32(T))
-            gain_db = alpha * st.lev_gain_db + (1.0 - alpha) * gc
-            gain_lin = fmath.exp10_f32(gain_db * jnp.float32(np.float32(1.0) / np.float32(20.0)))
-            g_prev = st.lev_gain
-            g_cur = _f32_to_i32(gain_lin * jnp.float32(C.Q28_ONE))
-            st = st._replace(lev_gain_db=gain_db, lev_gain=g_cur,
-                             lev_gain_prev=g_prev)
+    # ---- PASS 2.5 leveller block phase (leveller.c:274-389) ----
+    if static.leveller_on:
+        env_l = env_seq_l[T - 1::T]                      # [Npkt, B] Q28
+        env_r = env_seq_r[T - 1::T]
+        st = st._replace(lev_env=jnp.stack([env_l[-1], env_r[-1]]))
+        inv_q28 = jnp.float32(1.0) / jnp.float32(1 << 28)
+        env_l_f = env_l.astype(jnp.float32) * inv_q28
+        env_r_f = env_r.astype(jnp.float32) * inv_q28
+        a_att, a_rel = p.lev[1], p.lev[2]
+        thresh, knee, gate = p.lev[3], p.lev[4], p.lev[5]
+        max_gain, makeup = p.lev[7], p.lev[8]
+        slope, inv_two_knee = p.lev[9], p.lev[10]
+        rms_sq = jnp.maximum(env_l_f, env_r_f)
+        rms_db = 10.0 * fmath.log10_f32(rms_sq + jnp.float32(1e-30))
+        half = knee * 0.5
+        d = thresh + half - rms_db
+        gc = jnp.where(
+            rms_db > thresh + half, 0.0,
+            jnp.where(rms_db >= thresh - half,
+                      slope * d * d * inv_two_knee,
+                      (thresh - rms_db) * slope))
+        gc = jnp.minimum(gc + makeup, max_gain)
+        gc = jnp.where(rms_db < gate, 0.0, gc)           # [Npkt, B]
 
-            # interpolated gain: g_prev + (i64(g_cur-g_prev)*i)/(T-1) with C
-            # truncating division (leveller.c:352).  JAX has no int64 by
-            # default, so compute |diff|*i/(T-1) in uint32 via the split
-            # (a*i)//d == (a//d)*i + ((a%d)*i)//d, exact for i <= d and
-            # overflow-free since the result is <= a.
-            if T == 1:
-                gains = g_cur[None]
-            else:
-                d = np.uint32(T - 1)
-                diff = g_cur - g_prev                      # int32 wrap, as C
-                neg = diff < 0
-                a_u = jnp.where(neg, -diff, diff).astype(jnp.uint32)
-                i_vec = jnp.arange(T, dtype=jnp.uint32)[:, None]
-                res = (a_u // d) * i_vec + ((a_u % d) * i_vec) // d
-                q = res.astype(jnp.int32)
-                gains = g_prev + jnp.where(neg[None, :], -q, q)
+        pow_att = fmath.pow_f32(a_att, jnp.float32(T))
+        pow_rel = fmath.pow_f32(a_rel, jnp.float32(T))
+        inv20 = jnp.float32(np.float32(1.0) / np.float32(20.0))
 
-            if static.leveller_lookahead:
-                la = C.LEVELLER_LOOKAHEAD_SAMPLES
-                idx = (st.lev_la_idx + jnp.arange(T, dtype=jnp.int32)) % la
-                out_l = st.lev_la[0, idx]
-                out_r = st.lev_la[1, idx]
-                lev_la = st.lev_la.at[0, idx].set(bl).at[1, idx].set(br)
-                st = st._replace(lev_la=lev_la,
-                                 lev_la_idx=(st.lev_la_idx + T) % la)
-            else:
-                out_l, out_r = bl, br
+        def lev_step(carry, gc_k):
+            gdb, g = carry
+            alpha = jnp.where(gc_k < gdb, pow_att, pow_rel)
+            gdb_n = alpha * gdb + (1.0 - alpha) * gc_k
+            g_cur = _f32_to_i32(fmath.exp10_f32(gdb_n * inv20)
+                                * jnp.float32(C.Q28_ONE))
+            return (gdb_n, g_cur), (g, g_cur)
 
-            # limiter (leveller.c:369-379): float peak math, Q28 gain cap
-            unity = jnp.int32(C.Q28_ONE)
-            peak = jnp.maximum(
-                jnp.abs(out_l.astype(jnp.float32) * inv_q28),
-                jnp.abs(out_r.astype(jnp.float32) * inv_q28))
-            max_g_q28 = _f32_to_i32(
-                fmath.det_div(jnp.float32(C.LEVELLER_LIMITER_CEIL), peak)
-                * jnp.float32(C.Q28_ONE))
-            cap = jnp.maximum(max_g_q28, unity)
-            g_eff = jnp.where(
-                (gains > unity) & (peak > 0.0) & (max_g_q28 < gains),
-                cap, gains)
-            bl = q28_mul(out_l, g_eff)
-            br = q28_mul(out_r, g_eff)
+        (gdbF, gF), (g_prev_p, g_cur_p) = lax.scan(
+            lev_step, (st.lev_gain_db, st.lev_gain), gc)
+        st = st._replace(lev_gain_db=gdbF, lev_gain=gF,
+                         lev_gain_prev=g_prev_p[-1])
 
-        # ---- PASS 3: peaks + crossfeed ----
-        peak_ml = jnp.max(jnp.abs(bl), axis=0)
-        peak_mr = jnp.max(jnp.abs(br), axis=0)
-
-        if static.crossfeed_on:
-            lp_a0, lp_b1, ap_a = p.xf[0], p.xf[1], p.xf[2]
-
-            def xf_body(cxf, xt):
-                lpL, lpR, apL, apR = cxf
-                ml, mr = xt
-                lp_l = q28_mul(lp_a0, ml) + q28_mul(lp_b1, lpL)
-                lp_r = q28_mul(lp_a0, mr) + q28_mul(lp_b1, lpR)
-                ap_l = q28_mul(ap_a, lp_l) + apL
-                apL_n = lp_l - q28_mul(ap_a, ap_l)
-                ap_r = q28_mul(ap_a, lp_r) + apR
-                apR_n = lp_r - q28_mul(ap_a, ap_r)
-                return ((lp_l, lp_r, apL_n, apR_n),
-                        ((ml - lp_l) + ap_r, (mr - lp_r) + ap_l))
-
-            xf0 = (st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1])
-            (lpL, lpR, apL, apR), (bl, br) = lax.scan(
-                xf_body, xf0, (bl, br), unroll=unroll)
-            st = st._replace(xf_lp=jnp.stack([lpL, lpR]),
-                             xf_ap=jnp.stack([apL, apR]))
-
-        # ---- PASS 4: matrix (usb_audio.c:1075-1100) ----
-        bufs = []
-        for o in range(nout):
-            if not static.output_enabled[o]:
-                bufs.append(jnp.zeros_like(bl))
-                continue
-            gl, gr = p.matrix_gain[0, o], p.matrix_gain[1, o]
-            both = q15_mul(bl, gl) + q15_mul(br, gr)
-            dst = jnp.where(
-                (gl != 0) & (gr != 0), both,
-                jnp.where(gl != 0, q15_mul(bl, gl),
-                          jnp.where(gr != 0, q15_mul(br, gr), 0)))
-            bufs.append(dst)
-
-        # ---- PASS 5: per-output EQ ----
-        if out_bands:
-            def scan_b(eqs, xt):
-                eqs_n = list(eqs)
-                outs = list(xt)
-                for i, (ch, band, kind) in enumerate(out_bands):
-                    o = ch - C.CH_OUT_1
-                    outs[o], eqs_n[i] = _band_step_q28(
-                        p.eq_q28[ch, band], eqs[i], outs[o])
-                return tuple(eqs_n), tuple(outs)
-
-            eqs0b = _gather_states(static, st, out_bands)
-            eqsFb, outs = lax.scan(scan_b, eqs0b, tuple(bufs), unroll=unroll)
-            st = _scatter_states(static, st, out_bands, eqsFb)
-            bufs = list(outs)
-
-        # output gains (usb_audio.c:1203-1212): float multiply then Q15 apply
-        for o in range(nout):
-            if not static.output_enabled[o]:
-                continue
-            if static.output_mute[o]:
-                bufs[o] = jnp.zeros_like(bufs[o])
-                continue
-            gain = _f32_to_i32(p.out_gain[o] * vol_mul_master.astype(jnp.float32))
-            bufs[o] = jnp.where(gain == 0, 0, q15_mul(bufs[o], gain))
-
-        # delay lines
-        if static.delayed_outputs:
-            D = static.delay_ring
-            ring = st.delay
-            idx_w = (st.delay_idx + jnp.arange(T, dtype=jnp.int32)) % D
-            for k, o in enumerate(static.delayed_outputs):
-                delayed = _delay_read(ring[k], bufs[o], st.delay_idx,
-                                      p.delay_samples[k], T, D)
-                ring = ring.at[k, idx_w].set(bufs[o])
-                bufs[o] = delayed
-            st = st._replace(delay=ring, delay_idx=(st.delay_idx + T) % D)
-
-        # peaks / clips (Q28: u16 = peak >> 13, usb_audio.c:1239)
-        peaks = [peak_ml, peak_mr]
-        for o in range(ns2):
-            peaks.append(jnp.max(jnp.abs(bufs[o]), axis=0))
-        if static.output_enabled[nout - 1]:
-            peaks.append(jnp.max(jnp.abs(bufs[nout - 1]), axis=0))
+        # interpolated gain: g_prev + (i64(g_cur-g_prev)*i)/(T-1) with C
+        # truncating division (leveller.c:352).  JAX has no int64 by
+        # default, so compute |diff|*i/(T-1) in uint32 via the split
+        # (a*i)//d == (a//d)*i + ((a%d)*i)//d, exact for i <= d and
+        # overflow-free since the result is <= a.  Closed form — vectorized
+        # over packets and samples.
+        if T == 1:
+            gains = g_cur_p.reshape(Ttot, -1)
         else:
-            peaks.append(jnp.zeros_like(peak_ml))
-        peaks = jnp.stack(peaks)
-        clip = st.clip_flags
-        for chi in range(peaks.shape[0]):
-            ch_bit = chi if chi < 2 + ns2 else static.n_channels - 1
-            clip = clip | jnp.where(peaks[chi] > C.CLIP_THRESH_Q28,
-                                    jnp.int32(1 << ch_bit), 0)
-        st = st._replace(clip_flags=clip)
+            d_u = np.uint32(T - 1)
+            diff = g_cur_p - g_prev_p                    # int32 wrap, as C
+            neg = diff < 0
+            a_u = jnp.where(neg, -diff, diff).astype(jnp.uint32)[:, None, :]
+            i_vec = jnp.arange(T, dtype=jnp.uint32)[None, :, None]
+            res = (a_u // d_u) * i_vec + ((a_u % d_u) * i_vec) // d_u
+            q = res.astype(jnp.int32)
+            gains = (g_prev_p[:, None, :]
+                     + jnp.where(neg[:, None, :], -q, q)).reshape(Ttot, -1)
 
-        # S/PDIF conversion (usb_audio.c:1244-1257)
-        s24 = []
-        for pair in range(static.n_spdif):
-            lch, rch = pair * 2, pair * 2 + 1
-            on = static.output_enabled[lch] or static.output_enabled[rch]
-            for chn in (lch, rch):
-                if on:
-                    s24.append(q28_to_s24(bufs[chn]))
-                else:
-                    s24.append(jnp.zeros(bufs[chn].shape, jnp.int32))
-        s24 = jnp.stack(s24)
-
-        sub = bufs[nout - 1]
-        if static.emit == "full":
-            ys = (jnp.stack(bufs), s24, peaks, sub)
+        if static.leveller_lookahead:
+            la = C.LEVELLER_LOOKAHEAD_SAMPLES
+            tvec = jnp.arange(Ttot, dtype=jnp.int32)
+            rpos = (st.lev_la_idx + tvec) % la
+            late = (tvec >= la)[:, None]
+            sel = jnp.clip(tvec - la, 0, Ttot - 1)
+            out_l = jnp.where(late, jnp.take(bl, sel, axis=0),
+                              st.lev_la[0, rpos])
+            out_r = jnp.where(late, jnp.take(br, sel, axis=0),
+                              st.lev_la[1, rpos])
+            lev_la = jnp.stack([_ring_write(st.lev_la[0], bl, st.lev_la_idx,
+                                            Ttot, la),
+                                _ring_write(st.lev_la[1], br, st.lev_la_idx,
+                                            Ttot, la)])
+            st = st._replace(lev_la=lev_la,
+                             lev_la_idx=(st.lev_la_idx + Ttot) % la)
         else:
-            ys = (None, jnp.sum(s24, axis=1), peaks, sub)
-        return st, ys
+            out_l, out_r = bl, br
 
-    state, (out_full, s24_out, peaks_pkts, sub_all) = lax.scan(
-        packet_step, state, (x, preset_mute), unroll=static.outer_unroll)
+        # limiter (leveller.c:369-379): float peak math, Q28 gain cap
+        unity = jnp.int32(C.Q28_ONE)
+        peak = jnp.maximum(
+            jnp.abs(out_l.astype(jnp.float32) * inv_q28),
+            jnp.abs(out_r.astype(jnp.float32) * inv_q28))
+        max_g_q28 = _f32_to_i32(
+            fmath.det_div(jnp.float32(C.LEVELLER_LIMITER_CEIL), peak)
+            * jnp.float32(C.Q28_ONE))
+        cap = jnp.maximum(max_g_q28, unity)
+        g_eff = jnp.where(
+            (gains > unity) & (peak > 0.0) & (max_g_q28 < gains),
+            cap, gains)
+        bl = q28_mul(out_l, g_eff)
+        br = q28_mul(out_r, g_eff)
+
+    # ---- PASS 3: peaks + crossfeed ----
+    peak_ml = jnp.max(jnp.abs(bl), axis=0)
+    peak_mr = jnp.max(jnp.abs(br), axis=0)
+
+    if static.crossfeed_on:
+        lp_a0, lp_b1, ap_a = p.xf[0], p.xf[1], p.xf[2]
+
+        def xf_body(cxf, xt):
+            lpL, lpR, apL, apR = cxf
+            ml, mr = xt
+            lp_l = q28_mul(lp_a0, ml) + q28_mul(lp_b1, lpL)
+            lp_r = q28_mul(lp_a0, mr) + q28_mul(lp_b1, lpR)
+            ap_l = q28_mul(ap_a, lp_l) + apL
+            apL_n = lp_l - q28_mul(ap_a, ap_l)
+            ap_r = q28_mul(ap_a, lp_r) + apR
+            apR_n = lp_r - q28_mul(ap_a, ap_r)
+            return ((lp_l, lp_r, apL_n, apR_n),
+                    ((ml - lp_l) + ap_r, (mr - lp_r) + ap_l))
+
+        xf0 = (st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1])
+        (lpL, lpR, apL, apR), (bl, br) = lax.scan(
+            xf_body, xf0, (bl, br), unroll=unroll)
+        st = st._replace(xf_lp=jnp.stack([lpL, lpR]),
+                         xf_ap=jnp.stack([apL, apR]))
+
+    # ---- PASS 4: matrix (usb_audio.c:1075-1100) ----
+    bufs = []
+    for o in range(nout):
+        if not static.output_enabled[o]:
+            bufs.append(jnp.zeros_like(bl))
+            continue
+        gl, gr = p.matrix_gain[0, o], p.matrix_gain[1, o]
+        both = q15_mul(bl, gl) + q15_mul(br, gr)
+        dst = jnp.where(
+            (gl != 0) & (gr != 0), both,
+            jnp.where(gl != 0, q15_mul(bl, gl),
+                      jnp.where(gr != 0, q15_mul(br, gr), 0)))
+        bufs.append(dst)
+
+    # ---- PASS 5: per-output EQ ----
+    if out_bands:
+        def scan_b(eqs, xt):
+            eqs_n = list(eqs)
+            outs = list(xt)
+            for i, (ch, band, kind) in enumerate(out_bands):
+                o = ch - C.CH_OUT_1
+                outs[o], eqs_n[i] = _band_step_q28(
+                    p.eq_q28[ch, band], eqs[i], outs[o])
+            return tuple(eqs_n), tuple(outs)
+
+        eqs0b = _gather_states(static, st, out_bands)
+        eqsFb, outs = lax.scan(scan_b, eqs0b, tuple(bufs), unroll=unroll)
+        st = _scatter_states(static, st, out_bands, eqsFb)
+        bufs = list(outs)
+
+    # output gains (usb_audio.c:1203-1212): float multiply then Q15 apply
+    for o in range(nout):
+        if not static.output_enabled[o]:
+            continue
+        if static.output_mute[o]:
+            bufs[o] = jnp.zeros_like(bufs[o])
+            continue
+        gain = _f32_to_i32(p.out_gain[o]
+                           * vol_mul_master.astype(jnp.float32))
+        g3 = gain[:, None, :]
+        b3 = bufs[o].reshape(Npkt, T, -1)
+        bufs[o] = jnp.where(g3 == 0, 0, q15_mul(b3, g3)).reshape(Ttot, -1)
+
+    # delay lines
+    if static.delayed_outputs:
+        D = static.delay_ring
+        ring = st.delay
+        for k, o in enumerate(static.delayed_outputs):
+            delayed = _delay_read(ring[k], bufs[o], st.delay_idx,
+                                  p.delay_samples[k], Ttot, D)
+            ring = ring.at[k].set(
+                _ring_write(ring[k], bufs[o], st.delay_idx, Ttot, D))
+            bufs[o] = delayed
+        st = st._replace(delay=ring, delay_idx=(st.delay_idx + Ttot) % D)
+
+    # peaks / clips (Q28: u16 = peak >> 13, usb_audio.c:1239)
+    peaks = [peak_ml, peak_mr]
+    for o in range(ns2):
+        peaks.append(jnp.max(jnp.abs(bufs[o]), axis=0))
+    if static.output_enabled[nout - 1]:
+        peaks.append(jnp.max(jnp.abs(bufs[nout - 1]), axis=0))
+    else:
+        peaks.append(jnp.zeros_like(peak_ml))
+    peaks = jnp.stack(peaks)
+    clip = st.clip_flags
+    for chi in range(peaks.shape[0]):
+        ch_bit = chi if chi < 2 + ns2 else static.n_channels - 1
+        clip = clip | jnp.where(peaks[chi] > C.CLIP_THRESH_Q28,
+                                jnp.int32(1 << ch_bit), 0)
+    st = st._replace(clip_flags=clip)
+
+    # S/PDIF conversion (usb_audio.c:1244-1257)
+    s24 = []
+    for pair in range(static.n_spdif):
+        lch, rch = pair * 2, pair * 2 + 1
+        on = static.output_enabled[lch] or static.output_enabled[rch]
+        for chn in (lch, rch):
+            if on:
+                s24.append(q28_to_s24(bufs[chn]))
+            else:
+                s24.append(jnp.zeros(bufs[chn].shape, jnp.int32))
+    s24 = jnp.stack(s24)                                 # [ns2, Ttot, B]
 
     outputs = {}
-    seg_peaks = jnp.max(peaks_pkts, axis=0)
-    outputs["peaks"] = (seg_peaks >> 13) & 0xFFFF
+    outputs["peaks"] = (peaks >> 13) & 0xFFFF
     if static.emit == "full":
-        outputs["out"] = out_full
-        outputs["s24"] = s24_out
+        outputs["out"] = _unflatten(jnp.stack(bufs), Npkt, T)
+        outputs["s24"] = _unflatten(s24, Npkt, T)
     else:
-        outputs["s24_sum"] = jnp.sum(s24_out, axis=0)
+        outputs["s24_sum"] = jnp.sum(s24, axis=1)
 
     if static.pdm_on:
-        Npkt = x.shape[0]
-        sub_flat = sub_all.reshape(Npkt * static.block_size, -1)
-        state, words = pdm_segment(state, sub_flat)
+        st, words = pdm_segment(st, bufs[nout - 1])
         if static.emit == "full":
             outputs["pdm"] = words
         else:
             outputs["pdm_sum"] = jnp.sum(words, axis=(0, 1), dtype=jnp.uint32)
 
-    return state, outputs
+    return st, outputs

@@ -15,14 +15,44 @@ Reproduces pdm_processing_loop (pdm_generator.c:349-397) bit-exactly:
 
 The quantizer feedback is a nonlinear recurrence — inherently sequential in
 time.  All throughput comes from the stream axis: every bit step is one
-vector op across [B] streams.  The inner 256 bits are fully unrolled inside
-the scan body so XLA sees straight-line int32 vector code.
+vector op across [B] streams.
+
+Bit-step algebra (exact int32 rewrites of the reference loop, chosen to
+minimize the op count and the cross-bit dependency chain):
+
+  * the per-chunk dither is folded into the carried value
+    ``e2d = err2 + dither`` so the quantizer test is a bare sign test;
+  * the two err updates become selects between per-sample precomputed
+    increments: with c = (e2d >= 0),
+        err  += (target - fb)        == select(c, target-65535, target)
+        e2d  += err_new - fb         == err_old + select(c, target-131070,
+                                                          target)
+  * the output bit is OR-ed in at its final position with a constant mask
+    instead of a shift-or chain.
+
+This is 8 vector ops per bit with a 4-op critical path (cmp - select -
+add - add); the reference formulation costs ~10 with the same path.
+
+Sample-scope work (clip, fade ramp, target) is closed-form over the whole
+segment and computed vectorized outside the scan: the fade counter is
+``min(fade0 + t, 1024)`` exactly (pdm_generator.c:351-358).
+
+Two lowerings of the same math:
+
+  * ``unrolled`` — all 256 bit steps straight-line inside the scan body;
+    what the TPU runs (XLA fuses the whole body).
+  * ``fori``     — nested lax.fori_loop over chunks/bits; ~100x faster to
+    compile on XLA:CPU, used by the test suite (the unrolled body used to
+    cost >2 min of compile per chain variant on CPU hosts).
 
 Layout: x int32 [T, B] Q28 -> words uint32 [T, 8, B].
 """
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -30,57 +60,138 @@ from ..core import constants as C
 
 
 def _noise_shaper(ns, raw, quant_error):
-    """noise_shaped_dither (pdm_generator.c:89-108).  ns: [5, B] int32."""
-    x1, x2, y1, y2, acc = ns[0], ns[1], ns[2], ns[3], ns[4]
+    """noise_shaped_dither (pdm_generator.c:89-108).
+
+    ns: tuple (x1, x2, y1, y2, acc) of int32 [B]."""
+    x1, x2, y1, y2, acc = ns
     acc = ((acc * 248) >> 8) + (quant_error >> 6)
     inp = raw - acc
     out = (C.PDM_NS_B0 * inp + C.PDM_NS_B1 * x1 + C.PDM_NS_B2 * x2
            + C.PDM_NS_A1 * y1 - C.PDM_NS_A2 * y2) >> 14
-    return out, jnp.stack([inp, x1, out, y1, acc])
+    return out, (inp, x1, out, y1, acc)
 
 
-def pdm_segment(state, x, unroll: int = 1):
+def _xorshift32(rng):
+    rng = rng ^ (rng << 13)
+    rng = rng ^ (rng >> 17)
+    return rng ^ (rng << 5)
+
+
+def _targets(x, fade0):
+    """Vectorized sample prep (pdm_generator.c:351-364): clip, fade, +32768.
+
+    x: int32 [T, B] Q28;  fade0: int32 [B].  Returns (target [T, B],
+    fade' [B]) — the fade counter advance is the closed form of the
+    firmware's per-sample saturating increment."""
+    T = x.shape[0]
+    pcm = (x >> 14).clip(-C.PDM_CLIP_THRESH, C.PDM_CLIP_THRESH)
+    fade_t = jnp.minimum(fade0[None, :] + jnp.arange(T, dtype=jnp.int32)[:, None],
+                         C.PDM_FADE_IN_SAMPLES)
+    pcm = jnp.where(fade_t < C.PDM_FADE_IN_SAMPLES,
+                    (pcm * fade_t) >> C.PDM_FADE_IN_SHIFT, pcm)
+    fade = jnp.minimum(fade0 + T, C.PDM_FADE_IN_SAMPLES)
+    return pcm + 32768, fade
+
+
+_BIT_MASKS = tuple(jnp.uint32(1 << (31 - k)) for k in range(32))
+
+
+def _chunk_unrolled(err, e2d, target_m1, target_m2, target):
+    """One 32-bit chunk with the dither pre-folded into e2d.
+
+    target_m1 = target - 65535, target_m2 = target - 131070 (per sample,
+    [B]).  Returns (err', e2d', word)."""
+    word = jnp.zeros(err.shape, jnp.uint32)
+    zero = jnp.uint32(0)
+    for k in range(32):
+        c = e2d >= 0
+        word = word | jnp.where(c, _BIT_MASKS[k], zero)
+        d2 = jnp.where(c, target_m2, target)
+        e2d = e2d + (err + d2)
+        err = err + jnp.where(c, target_m1, target)
+    return err, e2d, word
+
+
+def _sample_unrolled(carry, xs):
+    err, err2, ns, rng = carry
+    target = xs
+    target_m1 = target - 65535
+    target_m2 = target - 131070
+    words = []
+    for _ in range(C.PDM_CHUNKS):
+        rng = _xorshift32(rng)
+        raw = (rng & C.PDM_DITHER_MASK).astype(jnp.int32) \
+            - (C.PDM_DITHER_MASK >> 1)
+        dither, ns = _noise_shaper(ns, raw, err2 >> 8)
+        e2d = err2 + dither
+        err, e2d, word = _chunk_unrolled(err, e2d, target_m1, target_m2,
+                                         target)
+        err2 = e2d - dither
+        words.append(word)
+    err = err - (err >> C.PDM_LEAKAGE_SHIFT)
+    err2 = err2 - (err2 >> C.PDM_LEAKAGE_SHIFT)
+    return (err, err2, ns, rng), jnp.stack(words)
+
+
+def _sample_fori(carry, xs):
+    """Same math, rolled into fori_loops (fast XLA:CPU compile)."""
+    err, err2, ns, rng = carry
+    target = xs
+    target_m1 = target - 65535
+    target_m2 = target - 131070
+
+    def bit_body(_, st):
+        err, e2d, word = st
+        c = e2d >= 0
+        word = (word << 1) | c.astype(jnp.uint32)
+        d2 = jnp.where(c, target_m2, target)
+        e2d = e2d + (err + d2)
+        err = err + jnp.where(c, target_m1, target)
+        return err, e2d, word
+
+    def chunk_body(j, st):
+        err, err2, ns, rng, words = st
+        rng = _xorshift32(rng)
+        raw = (rng & C.PDM_DITHER_MASK).astype(jnp.int32) \
+            - (C.PDM_DITHER_MASK >> 1)
+        dither, ns = _noise_shaper(ns, raw, err2 >> 8)
+        word0 = jnp.zeros(err.shape, jnp.uint32)
+        err, e2d, word = lax.fori_loop(0, 32, bit_body,
+                                       (err, err2 + dither, word0))
+        err2 = e2d - dither
+        words = lax.dynamic_update_slice_in_dim(words, word[None], j, axis=0)
+        return err, err2, ns, rng, words
+
+    words0 = jnp.zeros((C.PDM_CHUNKS,) + err.shape, jnp.uint32)
+    err, err2, ns, rng, words = lax.fori_loop(
+        0, C.PDM_CHUNKS, chunk_body, (err, err2, ns, rng, words0))
+    err = err - (err >> C.PDM_LEAKAGE_SHIFT)
+    err2 = err2 - (err2 >> C.PDM_LEAKAGE_SHIFT)
+    return (err, err2, ns, rng), words
+
+
+def resolve_impl(impl: str = "auto") -> str:
+    """'auto' picks the fast-compiling fori lowering on XLA:CPU (where the
+    256-wide unrolled body costs minutes of compile) and the straight-line
+    body elsewhere.  Override with DSPI_PDM_IMPL."""
+    impl = os.environ.get("DSPI_PDM_IMPL", impl)
+    if impl == "auto":
+        impl = "fori" if jax.default_backend() == "cpu" else "unrolled"
+    return impl
+
+
+def pdm_segment(state, x, unroll: int = 1, impl: str = "auto"):
     """Run the modulator over a segment.
 
     ``state`` is a ChainState (only the pdm_* fields are used/updated).
     ``x``: int32 [T, B] Q28 samples.  Returns (state', words uint32 [T,8,B]).
     """
-
-    def sample_body(carry, x_t):
-        err, err2, ns, rng, fade = carry
-
-        pcm = (x_t >> 14).clip(-C.PDM_CLIP_THRESH, C.PDM_CLIP_THRESH)
-        fading = fade < C.PDM_FADE_IN_SAMPLES
-        pcm = jnp.where(fading, (pcm * fade) >> C.PDM_FADE_IN_SHIFT, pcm)
-        fade = jnp.where(fading, fade + 1, fade)
-        target = pcm + 32768
-
-        words = []
-        for _ in range(C.PDM_CHUNKS):
-            rng = rng ^ (rng << 13)
-            rng = rng ^ (rng >> 17)
-            rng = rng ^ (rng << 5)
-            raw = (rng & C.PDM_DITHER_MASK).astype(jnp.int32) \
-                - (C.PDM_DITHER_MASK >> 1)
-            dither, ns = _noise_shaper(ns, raw, err2 >> 8)
-
-            word = jnp.zeros_like(rng)
-            for _k in range(32):
-                cond = (err2 + dither) >= 0
-                fb = jnp.where(cond, 65535, 0)
-                word = (word << 1) | cond.astype(jnp.uint32)
-                err = err + (target - fb)
-                err2 = err2 + (err - fb)
-            words.append(word)
-
-        err = err - (err >> C.PDM_LEAKAGE_SHIFT)
-        err2 = err2 - (err2 >> C.PDM_LEAKAGE_SHIFT)
-        return (err, err2, ns, rng, fade), jnp.stack(words)
-
-    carry0 = (state.pdm_err, state.pdm_err2, state.pdm_ns,
-              state.pdm_rng, state.pdm_fade)
-    (err, err2, ns, rng, fade), words = lax.scan(
-        sample_body, carry0, x, unroll=unroll)
-    state = state._replace(pdm_err=err, pdm_err2=err2, pdm_ns=ns,
+    target, fade = _targets(x, state.pdm_fade)
+    body = _sample_fori if resolve_impl(impl) == "fori" else _sample_unrolled
+    ns0 = tuple(state.pdm_ns[i] for i in range(5))
+    carry0 = (state.pdm_err, state.pdm_err2, ns0, state.pdm_rng)
+    (err, err2, ns, rng), words = lax.scan(body, carry0, target,
+                                           unroll=unroll)
+    state = state._replace(pdm_err=err, pdm_err2=err2, pdm_ns=jnp.stack(ns),
                            pdm_rng=rng, pdm_fade=fade)
     return state, words

@@ -141,3 +141,196 @@ def pdm_block(state: np.ndarray, x: np.ndarray) -> np.ndarray:
     lib.dspi_pdm_block(_i32p(state), _i32p(x), len(x),
                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# firmware-float oracle binding
+# ---------------------------------------------------------------------------
+
+
+def _bind_fw(lib):
+    if getattr(lib, "_fw_bound", False):
+        return
+    import ctypes as ct
+
+    f32p = ct.POINTER(ct.c_float)
+    i32p = ct.POINTER(ct.c_int32)
+    u8p = ct.POINTER(ct.c_uint8)
+    u32p = ct.POINTER(ct.c_uint32)
+    lib.dspi_fw_new.restype = ct.c_void_p
+    lib.dspi_fw_new.argtypes = [ct.c_float, ct.c_int, ct.c_int, ct.c_int,
+                                ct.c_int]
+    lib.dspi_fw_free.argtypes = [ct.c_void_p]
+    lib.dspi_fw_set_eq.argtypes = [ct.c_void_p, i32p, f32p, ct.c_int]
+    lib.dspi_fw_set_loudness.argtypes = [ct.c_void_p, ct.c_int, f32p, i32p]
+    lib.dspi_fw_set_gains.argtypes = [ct.c_void_p, f32p, ct.c_float,
+                                      ct.c_int, ct.c_int, f32p, u8p, u8p,
+                                      f32p, u8p, u8p, i32p]
+    lib.dspi_fw_set_gains_raw.argtypes = [ct.c_void_p, f32p, ct.c_float,
+                                          ct.c_int, ct.c_int, f32p, f32p,
+                                          u8p, u8p, i32p]
+    lib.dspi_fw_set_leveller.argtypes = [ct.c_void_p, ct.c_int, ct.c_float,
+                                         ct.c_int, ct.c_float, ct.c_float,
+                                         ct.c_int]
+    lib.dspi_fw_set_leveller_raw.argtypes = [ct.c_void_p, ct.c_int, ct.c_int] \
+        + [ct.c_float] * 9
+    lib.dspi_fw_set_crossfeed.argtypes = [ct.c_void_p, ct.c_int, ct.c_int,
+                                          ct.c_float, ct.c_float, ct.c_int]
+    lib.dspi_fw_set_crossfeed_raw.argtypes = [ct.c_void_p, ct.c_int,
+                                              ct.c_float, ct.c_float,
+                                              ct.c_float]
+    lib.dspi_fw_enable_pdm.argtypes = [ct.c_void_p, ct.c_int, ct.c_int]
+    lib.dspi_fw_process.argtypes = [ct.c_void_p, i32p, ct.c_int, ct.c_int,
+                                    ct.c_int, f32p, u32p]
+    lib.dspi_fw_db_to_linear.restype = ct.c_float
+    lib.dspi_fw_db_to_linear.argtypes = [ct.c_float]
+    lib.dspi_fw_compute_alpha.restype = ct.c_float
+    lib.dspi_fw_compute_alpha.argtypes = [ct.c_float, ct.c_float]
+    lib._fw_bound = True
+
+
+def _f32p(a):
+    import ctypes as ct
+
+    return a.ctypes.data_as(ct.POINTER(ct.c_float))
+
+
+def _u8arr(a):
+    import ctypes as ct
+
+    a = np.ascontiguousarray(a, np.uint8)
+    return a, a.ctypes.data_as(ct.POINTER(ct.c_uint8))
+
+
+class FirmwareFloat:
+    """The RP2350 float chain with the firmware's own math classes (libm
+    transcendentals, hardware division) — the measured side of the <=1e-6
+    RMS fidelity gate.  ``coeff_source='design'`` (default) loads the same
+    coefficient values the golden model uses so the comparison isolates
+    runtime signal-path math; ``coeff_source='native'`` re-derives
+    leveller/crossfeed/gain coefficients with libm (firmware derivation
+    path) for coefficient-fidelity measurement."""
+
+    def __init__(self, cfg, pdm: bool = True, pdm_fade: bool = True,
+                 coeff_source: str = "design"):
+        from .chain.pack import build_params, build_static
+        from .params.design import derive
+
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        _bind_fw(lib)
+        self._lib = lib
+        d = derive(cfg)
+        static = build_static(d, block_size=48)  # block size irrelevant here
+        params = build_params(d, static)
+        nch, nb = static.n_channels, params.eq_f32.shape[1]
+        nout = static.n_outputs
+        self.nout = nout
+        self._p = lib.dspi_fw_new(float(cfg.sample_rate), nout,
+                                  static.n_spdif, nch, nb)
+
+        kinds = np.zeros((nch, nb), np.int32)
+        for ch in range(nch):
+            for b, k in enumerate(static.band_kinds[ch]):
+                kinds[ch, b] = k
+        coef = np.ascontiguousarray(params.eq_f32, np.float32)
+        lib.dspi_fw_set_eq(self._p, _i32p(kinds), _f32p(coef),
+                           int(static.bypass_master_eq))
+
+        if static.loudness_on:
+            lc = np.ascontiguousarray(params.loud_sva, np.float32)
+            lb = np.ascontiguousarray(params.loud_bypass, np.int32)
+            lib.dspi_fw_set_loudness(self._p, 1, _f32p(lc), _i32p(lb))
+
+        g = d.gains
+        out_en = np.array(g.output_enabled, np.uint8)
+        out_mute = np.array(g.output_mute, np.uint8)
+        dly = np.ascontiguousarray(g.delay_samples, np.int32)
+        if coeff_source == "design":
+            pre = np.ascontiguousarray(g.preamp_linear, np.float32)
+            mat = np.ascontiguousarray(g.matrix_gain, np.float32)
+            og = np.ascontiguousarray(g.output_gain_linear, np.float32)
+            _, en_p = _u8arr(out_en)
+            _, mu_p = _u8arr(out_mute)
+            lib.dspi_fw_set_gains_raw(
+                self._p, _f32p(pre), float(g.master_volume_linear),
+                int(g.host_vol_mul), int(bool(cfg.host_mute)),
+                _f32p(mat), _f32p(og), en_p, mu_p, _i32p(dly))
+            lv = d.leveller
+            lib.dspi_fw_set_leveller_raw(
+                self._p, int(cfg.leveller.enabled), int(cfg.leveller.lookahead),
+                float(lv.alpha_rms), float(lv.alpha_attack),
+                float(lv.alpha_release), float(lv.threshold_db),
+                float(lv.knee_width_db), float(lv.gate_threshold_db),
+                float(lv.ratio), float(lv.max_gain_db), float(lv.makeup_db))
+            xf = d.crossfeed
+            lib.dspi_fw_set_crossfeed_raw(
+                self._p, int(xf.enabled), float(xf.lp_a0), float(xf.lp_b1),
+                float(xf.ap_a))
+        else:
+            pre_db = np.array(cfg.preamp_db, np.float32)
+            mat_db = np.zeros((2, nout), np.float32)
+            mat_en = np.zeros((2, nout), np.uint8)
+            mat_inv = np.zeros((2, nout), np.uint8)
+            for i in range(2):
+                for o in range(nout):
+                    xp = cfg.crosspoints[i][o]
+                    mat_db[i, o] = xp.gain_db
+                    mat_en[i, o] = xp.enabled
+                    mat_inv[i, o] = xp.phase_invert
+            og_db = np.array([o.gain_db for o in cfg.outputs], np.float32)
+            _, en_p = _u8arr(out_en)
+            _, mu_p = _u8arr(out_mute)
+            me, me_p = _u8arr(mat_en)
+            mi, mi_p = _u8arr(mat_inv)
+            lib.dspi_fw_set_gains(
+                self._p, _f32p(pre_db), float(cfg.master_volume_db),
+                int(g.host_vol_mul), int(bool(cfg.host_mute)),
+                _f32p(mat_db), me_p, mi_p, _f32p(og_db), en_p, mu_p,
+                _i32p(dly))
+            lib.dspi_fw_set_leveller(
+                self._p, int(cfg.leveller.enabled), float(cfg.leveller.amount),
+                int(cfg.leveller.speed), float(cfg.leveller.gate_threshold_db),
+                float(cfg.leveller.max_gain_db), int(cfg.leveller.lookahead))
+            lib.dspi_fw_set_crossfeed(
+                self._p, int(cfg.crossfeed.enabled), int(cfg.crossfeed.preset),
+                float(cfg.crossfeed.custom_fc),
+                float(cfg.crossfeed.custom_feed_db),
+                int(cfg.crossfeed.itd_enabled))
+
+        self.pdm_on = bool(pdm and g.output_enabled[nout - 1])
+        lib.dspi_fw_enable_pdm(self._p, int(self.pdm_on), int(pdm_fade))
+
+    def process(self, x: np.ndarray, bit_depth: int = 16):
+        """x: int32 [npkt, 2, T] one stream.  Returns (out float32
+        [npkt, nout, T], pdm_words uint32 [npkt*T, 8] or None)."""
+        import ctypes as ct
+
+        npkt, _, T = x.shape
+        x = np.ascontiguousarray(x, np.int32)
+        out = np.empty((npkt, self.nout, T), np.float32)
+        words = (np.empty((npkt * T, 8), np.uint32) if self.pdm_on else None)
+        wp = (words.ctypes.data_as(ct.POINTER(ct.c_uint32))
+              if words is not None else None)
+        self._lib.dspi_fw_process(self._p, _i32p(x), npkt, T,
+                                  int(bit_depth == 24), _f32p(out), wp)
+        return out, words
+
+    def __del__(self):
+        try:
+            self._lib.dspi_fw_free(self._p)
+        except Exception:
+            pass
+
+
+def fw_db_to_linear(db: float) -> float:
+    lib = _load()
+    _bind_fw(lib)
+    return lib.dspi_fw_db_to_linear(np.float32(db))
+
+
+def fw_compute_alpha(rate: float, t: float) -> float:
+    lib = _load()
+    _bind_fw(lib)
+    return lib.dspi_fw_compute_alpha(np.float32(rate), np.float32(t))

@@ -17,7 +17,20 @@
 // Exposed as a plain C ABI for ctypes.  Everything is int32 two's-complement
 // wrap-around arithmetic, matching the Cortex-M cores exactly.
 
+//   * A firmware-float oracle: the RP2350 float packet chain exactly as the
+//     firmware computes it — libm log10f/powf/expf, hardware float division,
+//     float SVF/TDF2 block kernels (usb_audio.c:560-960, leveller.c:124-262,
+//     crossfeed.c:35-156, dsp_pipeline.c:255-365).  This is what converts
+//     the rebuild's "<=1e-6 RMS vs firmware" gate from an assertion into a
+//     measurement: golden (deterministic fmath) and this oracle (libm) are
+//     compared by tests/test_fw_oracle.py on the BASELINE configs.
+//     NB: the host libm differs from the ARM ROM routines by ulps, and gcc
+//     for cortex-m33 may contract mul+add into VFMA — both effects are of
+//     the same magnitude the gate budgets for.
+
+#include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 #define API extern "C" __attribute__((visibility("default")))
@@ -223,4 +236,640 @@ API void dspi_pdm_block(int32_t* state, const int32_t* x, int64_t count,
     state[0] = err; state[1] = err2;
     state[2] = x1; state[3] = x2; state[4] = y1; state[5] = y2;
     state[6] = acc; state[7] = (int32_t)rng; state[8] = fade;
+}
+
+// ===========================================================================
+// Firmware-float oracle: the RP2350 float packet chain with the firmware's
+// own math classes (libm transcendentals, hardware float division).
+// One stream, sample-sequential — an oracle, not a data plane.
+// ===========================================================================
+
+namespace fwf {
+
+enum BandKind { SKIP = 0, TDF2 = 1, SVF_LP = 2, SVF_HP = 3, SVF_PEAK = 4,
+                SVF_SHELF = 5 };
+
+constexpr int MAXCH = 16;
+constexpr int MAXB = 16;
+constexpr int DELAY_MASK = 4095;            // config.h:83 (RP2350)
+constexpr int LA_SAMPLES = 480;             // leveller.h:34
+constexpr float LIMITER_CEIL = 0.70795f;    // leveller.h:53 (-3 dBFS)
+
+struct FwFloat {
+    float rate;
+    int nout, nspdif, nch, nb;
+    // EQ (master channels 0-1, per-output channels 2..)
+    int32_t kinds[MAXCH][MAXB];
+    float coef[MAXCH][MAXB][11];   // sva1..svm2, b0,b1,b2,a1,a2
+    float eq_a[MAXCH][MAXB], eq_b[MAXCH][MAXB];   // SVF ic1/ic2 | TDF2 s1/s2
+    int bypass_master;
+    // loudness (usb_audio.c:689-718)
+    int loud_on;
+    float loud_c[2][6];
+    int32_t loud_byp[2];
+    float loud_ic1[2][2], loud_ic2[2][2];
+    // gains
+    float preamp_lin[2];
+    float master_vol_lin;
+    float vol_mul;                 // host volume, mute folded in
+    float matrix_gain[2][MAXCH];   // signed linear, 0 when disabled
+    uint8_t out_en[MAXCH], out_mute[MAXCH];
+    float out_gain_lin[MAXCH];
+    int32_t delay_samples[MAXCH];
+    float* delay_lines;            // [nout][DELAY_MASK+1]
+    uint32_t delay_widx;
+    // leveller (leveller.c)
+    int lev_on, lev_lookahead;
+    float alpha_rms, alpha_attack, alpha_release;
+    float threshold_db, knee_db, gate_db, ratio, max_gain_db, makeup_db;
+    float env_l, env_r, gain_smooth_db, gain_lin, gain_prev_lin;
+    float la_buf[2][LA_SAMPLES];
+    uint32_t la_idx;
+    // crossfeed (crossfeed.c)
+    int xf_on;
+    float lp_a0, lp_b1, ap_a;
+    float lp_L, lp_R, ap_L, ap_R;
+    // PDM modulator (shared with dspi_pdm_block: 9-word state)
+    int pdm_on;
+    int32_t pdm_state[9];
+};
+
+// flash_storage.c:302-306
+static float db_to_linear(float db) {
+    if (db <= -120.0f) return 0.0f;
+    if (db >= +80.0f) db = 80.0f;
+    return powf(10.0f, db / 20.0f);
+}
+
+// leveller.c:37-40
+static float compute_alpha(float sample_rate, float time_sec) {
+    if (time_sec <= 0.0f || sample_rate <= 0.0f) return 0.0f;
+    return expf(-logf(10.0f) / (sample_rate * time_sec));
+}
+
+// leveller.c:124-139
+static inline float gain_computer(float x_db, float threshold, float ratio,
+                                  float knee_width) {
+    float half_knee = knee_width * 0.5f;
+    if (x_db > (threshold + half_knee)) {
+        return 0.0f;
+    } else if (x_db >= (threshold - half_knee)) {
+        float d = threshold + half_knee - x_db;
+        return (1.0f - 1.0f / ratio) * d * d / (2.0f * knee_width);
+    } else {
+        return (threshold - x_db) * (1.0f - 1.0f / ratio);
+    }
+}
+
+// dsp_pipeline.c:282-365 (band-major block kernel, per-kind inner loops)
+static void eq_block(FwFloat* p, int ch, float* samples, int count) {
+    for (int band = 0; band < p->nb; band++) {
+        int kind = p->kinds[ch][band];
+        if (kind == SKIP) continue;
+        const float* c = p->coef[ch][band];
+        if (kind == TDF2) {
+            float b0 = c[6], b1 = c[7], b2 = c[8], a1 = c[9], a2 = c[10];
+            float s1 = p->eq_a[ch][band], s2 = p->eq_b[ch][band];
+            for (int i = 0; i < count; i++) {
+                float in = samples[i];
+                float out = b0 * in + s1;
+                s1 = b1 * in - a1 * out + s2;
+                s2 = b2 * in - a2 * out;
+                samples[i] = out;
+            }
+            p->eq_a[ch][band] = s1;
+            p->eq_b[ch][band] = s2;
+        } else {
+            float a1 = c[0], a2 = c[1], a3 = c[2];
+            float m0 = c[3], m1 = c[4], m2 = c[5];
+            float ic1 = p->eq_a[ch][band], ic2 = p->eq_b[ch][band];
+            for (int i = 0; i < count; i++) {
+                float in = samples[i];
+                float v3 = in - ic2;
+                float v1 = a1 * ic1 + a2 * v3;
+                float v2 = ic2 + a2 * ic1 + a3 * v3;
+                ic1 = 2.0f * v1 - ic1;
+                ic2 = 2.0f * v2 - ic2;
+                float out;
+                switch (kind) {
+                    case SVF_LP:   out = v2; break;
+                    case SVF_HP:   out = in + m1 * v1 - v2; break;
+                    case SVF_PEAK: out = in + m1 * v1; break;
+                    default:       out = m0 * in + m1 * v1 + m2 * v2; break;
+                }
+                samples[i] = out;
+            }
+            p->eq_a[ch][band] = ic1;
+            p->eq_b[ch][band] = ic2;
+        }
+    }
+}
+
+// leveller.c:147-262, verbatim semantics
+static void leveller_block(FwFloat* p, float* buf_l, float* buf_r,
+                           int count) {
+    if (count == 0) return;
+    float env_l = p->env_l, env_r = p->env_r;
+    const float a_rms = p->alpha_rms;
+    const float one_minus = 1.0f - a_rms;
+    for (int i = 0; i < count; i++) {
+        float sl = buf_l[i], sr = buf_r[i];
+        env_l = a_rms * env_l + one_minus * (sl * sl);
+        env_r = a_rms * env_r + one_minus * (sr * sr);
+    }
+    if (env_l < 1e-30f) env_l = 0.0f;
+    if (env_r < 1e-30f) env_r = 0.0f;
+    p->env_l = env_l;
+    p->env_r = env_r;
+
+    float rms_sq = (env_l > env_r) ? env_l : env_r;
+    float rms_db = 10.0f * log10f(rms_sq + 1e-30f);
+    float gc_db;
+    if (rms_db < p->gate_db) {
+        gc_db = 0.0f;
+    } else {
+        gc_db = gain_computer(rms_db, p->threshold_db, p->ratio, p->knee_db);
+        gc_db += p->makeup_db;
+        if (gc_db > p->max_gain_db) gc_db = p->max_gain_db;
+    }
+
+    float alpha_sample = (gc_db < p->gain_smooth_db) ? p->alpha_attack
+                                                     : p->alpha_release;
+    float alpha = powf(alpha_sample, (float)count);
+    p->gain_smooth_db = alpha * p->gain_smooth_db + (1.0f - alpha) * gc_db;
+    p->gain_prev_lin = p->gain_lin;
+    p->gain_lin = powf(10.0f, p->gain_smooth_db / 20.0f);
+
+    float gain_prev = p->gain_prev_lin;
+    float gain_cur = p->gain_lin;
+    float gain, gain_step;
+    if (count == 1) {
+        gain = gain_cur;
+        gain_step = 0.0f;
+    } else {
+        gain_step = (gain_cur - gain_prev) / (float)(count - 1);
+        gain = gain_prev;
+    }
+
+    const float ceilv = LIMITER_CEIL;
+    bool use_la = p->lev_lookahead;
+    uint32_t la_idx = p->la_idx;
+    for (int i = 0; i < count; i++) {
+        float out_l, out_r;
+        if (use_la) {
+            out_l = p->la_buf[0][la_idx];
+            out_r = p->la_buf[1][la_idx];
+            p->la_buf[0][la_idx] = buf_l[i];
+            p->la_buf[1][la_idx] = buf_r[i];
+            la_idx++;
+            if (la_idx >= LA_SAMPLES) la_idx = 0;
+        } else {
+            out_l = buf_l[i];
+            out_r = buf_r[i];
+        }
+        float peak = fabsf(out_l);
+        float pr = fabsf(out_r);
+        if (pr > peak) peak = pr;
+        float g = gain;
+        if (peak > 0.0f && g > 1.0f) {
+            float max_g = ceilv / peak;
+            if (max_g < g) g = (max_g > 1.0f) ? max_g : 1.0f;
+        }
+        buf_l[i] = out_l * g;
+        buf_r[i] = out_r * g;
+        gain += gain_step;
+    }
+    p->la_idx = la_idx;
+}
+
+// crossfeed.c:131-156
+static inline void crossfeed_stereo(FwFloat* p, float* left, float* right) {
+    float in_L = *left, in_R = *right;
+    float lp_out_L = p->lp_a0 * in_L + p->lp_b1 * p->lp_L;
+    float lp_out_R = p->lp_a0 * in_R + p->lp_b1 * p->lp_R;
+    p->lp_L = lp_out_L;
+    p->lp_R = lp_out_R;
+    float ap_out_L = p->ap_a * lp_out_L + p->ap_L;
+    p->ap_L = lp_out_L - p->ap_a * ap_out_L;
+    float ap_out_R = p->ap_a * lp_out_R + p->ap_R;
+    p->ap_R = lp_out_R - p->ap_a * ap_out_R;
+    *left = (in_L - lp_out_L) + ap_out_R;
+    *right = (in_R - lp_out_R) + ap_out_L;
+}
+
+// pdm_generator.c:349-397 one sample (reuses the 9-word state layout of
+// dspi_pdm_block)
+static void pdm_sample(int32_t* st, int32_t x_q28, uint32_t* words8) {
+    int32_t err = st[0], err2 = st[1];
+    int32_t x1 = st[2], x2 = st[3], y1 = st[4], y2 = st[5];
+    int32_t acc = st[6];
+    uint32_t rng = (uint32_t)st[7];
+    int32_t fade = st[8];
+
+    int32_t pcm = x_q28 >> 14;
+    if (pcm > 29500) pcm = 29500;
+    if (pcm < -29500) pcm = -29500;
+    if (fade < 1024) {
+        pcm = (int32_t)((uint32_t)pcm * (uint32_t)fade) >> 10;
+        fade++;
+    }
+    int32_t target = (int32_t)((uint32_t)pcm + 32768u);
+
+    for (int chunk = 0; chunk < 8; chunk++) {
+        rng ^= rng << 13;
+        rng ^= rng >> 17;
+        rng ^= rng << 5;
+        int32_t raw = (int32_t)(rng & 0x1FF) - 0xFF;
+        acc = (int32_t)(((uint32_t)acc * 248u)) >> 8;
+        // NB: the two shifts (err2>>8)>>6 match pdm_generator.c:97 feeding
+        // quant_error = err2 >> 8 into (qe >> 6)
+        acc = (int32_t)((uint32_t)acc + (uint32_t)((err2 >> 8) >> 6));
+        int32_t input = (int32_t)((uint32_t)raw - (uint32_t)acc);
+        int32_t total = (int32_t)(
+            (uint32_t)((int32_t)(15778u * (uint32_t)input))
+            + (uint32_t)((int32_t)((uint32_t)-31556 * (uint32_t)x1))
+            + (uint32_t)((int32_t)(15778u * (uint32_t)x2))
+            + (uint32_t)((int32_t)(31531u * (uint32_t)y1))
+            - (uint32_t)((int32_t)(15580u * (uint32_t)y2)));
+        int32_t dither = total >> 14;
+        x2 = x1; x1 = input; y2 = y1; y1 = dither;
+
+        uint32_t word = 0;
+        for (int k = 0; k < 32; k++) {
+            int32_t u = (int32_t)((uint32_t)err2 + (uint32_t)dither);
+            uint32_t bit = u >= 0 ? 1u : 0u;
+            word = (word << 1) | bit;
+            int32_t fb = bit ? 65535 : 0;
+            err = (int32_t)((uint32_t)err + (uint32_t)(target - fb));
+            err2 = (int32_t)((uint32_t)err2 + (uint32_t)(err - fb));
+        }
+        words8[chunk] = word;
+    }
+    err = (int32_t)((uint32_t)err - (uint32_t)(err >> 16));
+    err2 = (int32_t)((uint32_t)err2 - (uint32_t)(err2 >> 16));
+
+    st[0] = err; st[1] = err2;
+    st[2] = x1; st[3] = x2; st[4] = y1; st[5] = y2;
+    st[6] = acc; st[7] = (int32_t)rng; st[8] = fade;
+}
+
+}  // namespace fwf
+
+using fwf::FwFloat;
+
+API FwFloat* dspi_fw_new(float rate, int nout, int nspdif, int nch, int nb) {
+    FwFloat* p = (FwFloat*)calloc(1, sizeof(FwFloat));
+    p->rate = rate;
+    p->nout = nout;
+    p->nspdif = nspdif;
+    p->nch = nch;
+    p->nb = nb;
+    p->delay_lines =
+        (float*)calloc((size_t)nout * (fwf::DELAY_MASK + 1), sizeof(float));
+    p->master_vol_lin = 1.0f;
+    p->vol_mul = 1.0f;
+    p->gain_lin = 1.0f;
+    p->gain_prev_lin = 1.0f;
+    p->preamp_lin[0] = p->preamp_lin[1] = 1.0f;
+    return p;
+}
+
+API void dspi_fw_free(FwFloat* p) {
+    if (p) {
+        free(p->delay_lines);
+        free(p);
+    }
+}
+
+API void dspi_fw_set_eq(FwFloat* p, const int32_t* kinds, const float* coef,
+                        int bypass_master) {
+    for (int ch = 0; ch < p->nch; ch++)
+        for (int b = 0; b < p->nb; b++) {
+            p->kinds[ch][b] = kinds[ch * p->nb + b];
+            memcpy(p->coef[ch][b], coef + (ch * p->nb + b) * 11,
+                   11 * sizeof(float));
+        }
+    p->bypass_master = bypass_master;
+}
+
+API void dspi_fw_set_loudness(FwFloat* p, int enabled, const float* coef,
+                              const int32_t* bypass) {
+    p->loud_on = enabled;
+    if (enabled) {
+        memcpy(p->loud_c, coef, sizeof(p->loud_c));
+        p->loud_byp[0] = bypass[0];
+        p->loud_byp[1] = bypass[1];
+    }
+}
+
+// Gains from dB exactly as the firmware derives them: powf(10, db/20)
+// (usb_audio.c:1881,1928; flash_storage.c:302-306); master volume uses the
+// -128 mute sentinel (config.h:236-239); host volume is the Q15 table value
+// scaled by 1/32768 (usb_audio.c:569).
+API void dspi_fw_set_gains(FwFloat* p, const float* preamp_db,
+                           float master_vol_db, int host_vol_q15,
+                           int host_mute, const float* matrix_db,
+                           const uint8_t* mat_en, const uint8_t* mat_inv,
+                           const float* out_gain_db, const uint8_t* out_en,
+                           const uint8_t* out_mute,
+                           const int32_t* delay_samples) {
+    p->preamp_lin[0] = powf(10.0f, preamp_db[0] / 20.0f);
+    p->preamp_lin[1] = powf(10.0f, preamp_db[1] / 20.0f);
+    p->master_vol_lin =
+        (master_vol_db <= -128.0f) ? 0.0f : fwf::db_to_linear(master_vol_db);
+    p->vol_mul =
+        host_mute ? 0.0f : (float)host_vol_q15 * (1.0f / 32768.0f);
+    for (int in = 0; in < 2; in++)
+        for (int o = 0; o < p->nout; o++) {
+            float g = 0.0f;
+            if (mat_en[in * p->nout + o]) {
+                g = powf(10.0f, matrix_db[in * p->nout + o] / 20.0f);
+                if (mat_inv[in * p->nout + o]) g = -g;
+            }
+            p->matrix_gain[in][o] = g;
+        }
+    for (int o = 0; o < p->nout; o++) {
+        p->out_gain_lin[o] = powf(10.0f, out_gain_db[o] / 20.0f);
+        p->out_en[o] = out_en[o];
+        p->out_mute[o] = out_mute[o];
+        p->delay_samples[o] = delay_samples[o] & fwf::DELAY_MASK;
+    }
+}
+
+// leveller_compute_coefficients (leveller.c:43-90), native expf/logf
+API void dspi_fw_set_leveller(FwFloat* p, int enabled, float amount,
+                              int speed, float gate_db, float max_gain_db,
+                              int lookahead) {
+    static const float presets[3][3] = {
+        {0.100f, 2.000f, 0.400f},
+        {0.050f, 1.000f, 0.200f},
+        {0.020f, 0.500f, 0.100f},
+    };
+    p->lev_on = enabled;
+    p->lev_lookahead = lookahead;
+    if (!enabled) return;
+    float rate = p->rate < 1.0f ? 48000.0f : p->rate;
+    int spd = (speed < 0 || speed > 2) ? 1 : speed;
+    p->alpha_attack = fwf::compute_alpha(rate, presets[spd][0]);
+    p->alpha_release = fwf::compute_alpha(rate, presets[spd][1]);
+    p->alpha_rms = fwf::compute_alpha(rate, presets[spd][2]);
+    p->threshold_db = -20.0f;        // leveller.h:51
+    p->knee_db = 6.0f;               // leveller.h:52
+    if (gate_db < -90.0f) gate_db = -90.0f;
+    if (gate_db > -20.0f) gate_db = -20.0f;
+    p->gate_db = gate_db;
+    if (amount < 0.0f) amount = 0.0f;
+    if (amount > 100.0f) amount = 100.0f;
+    p->ratio = 1.0f + (amount / 100.0f) * 19.0f;
+    if (max_gain_db < 0.0f) max_gain_db = 0.0f;
+    if (max_gain_db > 30.0f) max_gain_db = 30.0f;
+    p->max_gain_db = max_gain_db;
+    p->makeup_db = 0.0f;
+}
+
+// crossfeed_compute_coefficients (crossfeed.c:36-130), native expf/powf and
+// hardware division
+API void dspi_fw_set_crossfeed(FwFloat* p, int enabled, int preset,
+                               float custom_fc, float custom_feed_db,
+                               int itd_enabled) {
+    p->xf_on = enabled;
+    p->lp_L = p->lp_R = p->ap_L = p->ap_R = 0.0f;
+    if (!enabled) return;
+    static const float presets[3][2] = {
+        {700.0f, 4.5f}, {700.0f, 6.0f}, {650.0f, 9.5f}};
+    float fc, feed_db;
+    if (preset < 3) {
+        fc = presets[preset][0];
+        feed_db = presets[preset][1];
+    } else {
+        fc = custom_fc;
+        feed_db = custom_feed_db;
+        if (fc < 500.0f) fc = 500.0f;
+        if (fc > 2000.0f) fc = 2000.0f;
+        if (feed_db < 0.0f) feed_db = 0.0f;
+        if (feed_db > 15.0f) feed_db = 15.0f;
+    }
+    float level_ratio = powf(10.0f, feed_db / 20.0f);
+    float G = 1.0f / (1.0f + level_ratio);
+    float x = expf(-2.0f * 3.1415926535f * fc / p->rate);
+    p->lp_a0 = G * (1.0f - x);
+    p->lp_b1 = x;
+    if (itd_enabled) {
+        float lp_delay_sec = x / ((1.0f - x) * p->rate);
+        float remaining_sec = 220e-6f - lp_delay_sec;   // crossfeed.h:23
+        if (remaining_sec > 0.0f) {
+            float D = remaining_sec * p->rate;
+            p->ap_a = (1.0f - D) / (1.0f + D);
+        } else {
+            p->ap_a = 1.0f;
+        }
+    } else {
+        p->ap_a = 1.0f;
+    }
+}
+
+API void dspi_fw_enable_pdm(FwFloat* p, int enabled, int fade) {
+    p->pdm_on = enabled;
+    memset(p->pdm_state, 0, sizeof(p->pdm_state));
+    p->pdm_state[7] = 123456789;            // xorshift32 seed
+    p->pdm_state[8] = fade ? 0 : 1024;      // fade-in position
+}
+
+// process_audio_packet float path (usb_audio.c:560-960), one packet per
+// iteration.  x: int32 [npkt][2][T] (s16 or s24 sample values);
+// out: float [npkt][nout][T] (post-delay buf_out);
+// pdm_words: uint32 [npkt*T*8] or NULL.
+API void dspi_fw_process(FwFloat* p, const int32_t* x, int npkt, int T,
+                         int bit24, float* out, uint32_t* pdm_words) {
+    const float inv_32768 = 1.0f / 32768.0f;
+    const float inv_8388608 = 1.0f / 8388608.0f;
+    const float pdm_scale = (float)(1 << 28);
+    float buf_l[512], buf_r[512];
+    float buf_out[fwf::MAXCH][512];
+
+    float vol_mul_master = p->vol_mul * p->master_vol_lin;
+
+    for (int pkt = 0; pkt < npkt; pkt++) {
+        const int32_t* in_l = x + ((size_t)pkt * 2) * T;
+        const int32_t* in_r = in_l + T;
+
+        // PASS 1: unpack + preamp
+        float gain_l = (bit24 ? inv_8388608 : inv_32768) * p->preamp_lin[0];
+        float gain_r = (bit24 ? inv_8388608 : inv_32768) * p->preamp_lin[1];
+        for (int i = 0; i < T; i++) {
+            buf_l[i] = (float)in_l[i] * gain_l;
+            buf_r[i] = (float)in_r[i] * gain_r;
+        }
+
+        // loudness shelves (usb_audio.c:689-718)
+        if (p->loud_on) {
+            for (int i = 0; i < T; i++) {
+                float rl = buf_l[i], rr = buf_r[i];
+                for (int j = 0; j < 2; j++) {
+                    if (p->loud_byp[j]) continue;
+                    const float* lc = p->loud_c[j];
+                    float v3 = rl - p->loud_ic2[0][j];
+                    float v1 = lc[0] * p->loud_ic1[0][j] + lc[1] * v3;
+                    float v2 = p->loud_ic2[0][j] + lc[1] * p->loud_ic1[0][j]
+                               + lc[2] * v3;
+                    p->loud_ic1[0][j] = 2.0f * v1 - p->loud_ic1[0][j];
+                    p->loud_ic2[0][j] = 2.0f * v2 - p->loud_ic2[0][j];
+                    rl = lc[3] * rl + lc[4] * v1 + lc[5] * v2;
+                }
+                for (int j = 0; j < 2; j++) {
+                    if (p->loud_byp[j]) continue;
+                    const float* lc = p->loud_c[j];
+                    float v3 = rr - p->loud_ic2[1][j];
+                    float v1 = lc[0] * p->loud_ic1[1][j] + lc[1] * v3;
+                    float v2 = p->loud_ic2[1][j] + lc[1] * p->loud_ic1[1][j]
+                               + lc[2] * v3;
+                    p->loud_ic1[1][j] = 2.0f * v1 - p->loud_ic1[1][j];
+                    p->loud_ic2[1][j] = 2.0f * v2 - p->loud_ic2[1][j];
+                    rr = lc[3] * rr + lc[4] * v1 + lc[5] * v2;
+                }
+                buf_l[i] = rl;
+                buf_r[i] = rr;
+            }
+        }
+
+        // PASS 2: master EQ
+        if (!p->bypass_master) {
+            fwf::eq_block(p, 0, buf_l, T);
+            fwf::eq_block(p, 1, buf_r, T);
+        }
+
+        // PASS 2.5: leveller
+        if (p->lev_on) fwf::leveller_block(p, buf_l, buf_r, T);
+
+        // PASS 3: crossfeed
+        if (p->xf_on)
+            for (int i = 0; i < T; i++)
+                crossfeed_stereo(p, &buf_l[i], &buf_r[i]);
+
+        // PASS 4: matrix, output-major (usb_audio.c:751-779)
+        for (int o = 0; o < p->nout; o++) {
+            if (!p->out_en[o]) {
+                memset(buf_out[o], 0, T * sizeof(float));
+                continue;
+            }
+            float gl = p->matrix_gain[0][o], gr = p->matrix_gain[1][o];
+            float* dst = buf_out[o];
+            if (gl != 0.0f && gr != 0.0f) {
+                for (int i = 0; i < T; i++)
+                    dst[i] = buf_l[i] * gl + buf_r[i] * gr;
+            } else if (gl != 0.0f) {
+                for (int i = 0; i < T; i++) dst[i] = buf_l[i] * gl;
+            } else if (gr != 0.0f) {
+                for (int i = 0; i < T; i++) dst[i] = buf_r[i] * gr;
+            } else {
+                memset(dst, 0, T * sizeof(float));
+            }
+        }
+
+        // PASS 5: per-output EQ + gain (usb_audio.c:877-895)
+        for (int o = 0; o < p->nout; o++) {
+            if (!p->out_en[o]) continue;
+            if (!p->out_mute[o]) fwf::eq_block(p, 2 + o, buf_out[o], T);
+            float gain =
+                p->out_mute[o] ? 0.0f : p->out_gain_lin[o] * vol_mul_master;
+            if (gain == 0.0f) {
+                memset(buf_out[o], 0, T * sizeof(float));
+            } else if (gain != 1.0f) {
+                for (int i = 0; i < T; i++) buf_out[o][i] *= gain;
+            }
+        }
+
+        // delay lines (usb_audio.c:897-912): write-then-read, shared index
+        for (int o = 0; o < p->nout; o++) {
+            int32_t dly = p->delay_samples[o];
+            if (dly <= 0) continue;
+            float* dst = buf_out[o];
+            float* dline = p->delay_lines + (size_t)o * (fwf::DELAY_MASK + 1);
+            uint32_t widx = p->delay_widx;
+            for (int i = 0; i < T; i++) {
+                dline[widx] = dst[i];
+                dst[i] = dline[(widx - dly) & fwf::DELAY_MASK];
+                widx = (widx + 1) & fwf::DELAY_MASK;
+            }
+        }
+        p->delay_widx = (p->delay_widx + T) & fwf::DELAY_MASK;
+
+        // PDM sub (usb_audio.c:944-955)
+        if (p->pdm_on && p->out_en[p->nout - 1] && pdm_words) {
+            const float* sub = buf_out[p->nout - 1];
+            for (int i = 0; i < T; i++) {
+                int32_t q28 = (int32_t)(sub[i] * pdm_scale);
+                fwf::pdm_sample(p->pdm_state, q28,
+                                pdm_words + ((size_t)pkt * T + i) * 8);
+            }
+        }
+
+        for (int o = 0; o < p->nout; o++)
+            memcpy(out + ((size_t)pkt * p->nout + o) * T, buf_out[o],
+                   T * sizeof(float));
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Raw-coefficient setters: load the SAME coefficient values the golden model
+// uses, so tests isolate *runtime signal-path* math (libm log10f/powf in the
+// gain computer, hardware division in the limiter) from coefficient
+// derivation.  Coefficient derivation fidelity is measured separately (the
+// dB-based setters above recompute natively with libm) because a 1-ulp
+// difference in e.g. alpha_rms lawfully amplifies through the envelope
+// recurrence far beyond the signal-path budget.
+// ---------------------------------------------------------------------------
+
+API void dspi_fw_set_leveller_raw(FwFloat* p, int enabled, int lookahead,
+                                  float a_rms, float a_att, float a_rel,
+                                  float thresh, float knee, float gate,
+                                  float ratio, float max_gain, float makeup) {
+    p->lev_on = enabled;
+    p->lev_lookahead = lookahead;
+    p->alpha_rms = a_rms;
+    p->alpha_attack = a_att;
+    p->alpha_release = a_rel;
+    p->threshold_db = thresh;
+    p->knee_db = knee;
+    p->gate_db = gate;
+    p->ratio = ratio;
+    p->max_gain_db = max_gain;
+    p->makeup_db = makeup;
+}
+
+API void dspi_fw_set_crossfeed_raw(FwFloat* p, int enabled, float lp_a0,
+                                   float lp_b1, float ap_a) {
+    p->xf_on = enabled;
+    p->lp_a0 = lp_a0;
+    p->lp_b1 = lp_b1;
+    p->ap_a = ap_a;
+    p->lp_L = p->lp_R = p->ap_L = p->ap_R = 0.0f;
+}
+
+API void dspi_fw_set_gains_raw(FwFloat* p, const float* preamp_lin,
+                               float master_vol_lin, int host_vol_q15,
+                               int host_mute, const float* matrix_lin,
+                               const float* out_gain_lin,
+                               const uint8_t* out_en, const uint8_t* out_mute,
+                               const int32_t* delay_samples) {
+    p->preamp_lin[0] = preamp_lin[0];
+    p->preamp_lin[1] = preamp_lin[1];
+    p->master_vol_lin = master_vol_lin;
+    p->vol_mul = host_mute ? 0.0f : (float)host_vol_q15 * (1.0f / 32768.0f);
+    for (int in = 0; in < 2; in++)
+        for (int o = 0; o < p->nout; o++)
+            p->matrix_gain[in][o] = matrix_lin[in * p->nout + o];
+    for (int o = 0; o < p->nout; o++) {
+        p->out_gain_lin[o] = out_gain_lin[o];
+        p->out_en[o] = out_en[o];
+        p->out_mute[o] = out_mute[o];
+        p->delay_samples[o] = delay_samples[o] & fwf::DELAY_MASK;
+    }
+}
+
+// Coefficient-derivation probes (native libm), for ulp-level comparison
+// against the Python design path.
+API float dspi_fw_db_to_linear(float db) { return fwf::db_to_linear(db); }
+API float dspi_fw_compute_alpha(float rate, float t) {
+    return fwf::compute_alpha(rate, t);
 }

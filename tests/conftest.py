@@ -27,6 +27,15 @@ if not os.environ.get("DSPI_TEST_TPU"):
     except Exception:
         pass
 
+# Persistent compilation cache: repeated runs skip XLA compiles entirely.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("DSPI_JAX_CACHE",
+                                     "/tmp/dspi_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -128,5 +128,10 @@ def test_float_24bit_input(rng):
     want = np.stack(
         [np.stack([np.asarray(p["buf_out"]) for p in gs]) for gs in goldens],
         axis=-1)
-    err = np.abs(np.asarray(out["out"]) - want).max()
-    assert err == 0.0, err
+    # float path is ulp-faithful, not bit-frozen: XLA may contract mul+add
+    # into FMA inside fusions (see pipeline.py rounding-contract note)
+    got = np.asarray(out["out"])
+    rms_ref = np.sqrt(np.mean(want.astype(np.float64) ** 2)) + 1e-12
+    rms_err = np.sqrt(np.mean((got.astype(np.float64) - want) ** 2))
+    assert rms_err / rms_ref < 1e-6, (rms_err, rms_ref)
+    assert np.abs(got - want).max() < 1e-6
