@@ -23,6 +23,10 @@ import numpy as np
 os.environ.setdefault("JAX_PLATFORMS", "")
 
 import jax                                                   # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dspi_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp                                      # noqa: E402
 
 from bench import bench_engine, full_chain_config            # noqa: E402
@@ -34,19 +38,21 @@ ITERS = int(os.environ.get("DSPI_BENCH_ITERS", 6))
 RATE = 48000.0
 
 
-def consume(out):
-    return sum(float(np.asarray(leaf).reshape(-1)[0])
-               for leaf in jax.tree.leaves(out))
+DEPTH = int(os.environ.get("DSPI_BENCH_DEPTH", 8))
 
 
 def timeit(fn, *args):
-    consume(fn(*args))
-    consume(fn(*args))
+    """Pipelined: enqueue DEPTH calls, read every scalar value at the end
+    (see bench.bench_engine for the honesty rationale)."""
+    float(np.asarray(fn(*args)))
+    float(np.asarray(fn(*args)))
     best = float("inf")
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        consume(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+        scalars = [fn(*args) for _ in range(DEPTH)]
+        for s in scalars:
+            float(np.asarray(s))
+        best = min(best, (time.perf_counter() - t0) / DEPTH)
     return best
 
 
@@ -73,8 +79,8 @@ def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None):
     @jax.jit
     def run(state, x):
         s, words = pdm_segment(state, x, unroll=unroll, impl=impl)
-        return (s.pdm_err, s.pdm_err2, s.pdm_rng,
-                jnp.sum(words, dtype=jnp.uint32))
+        return (jnp.sum(words, dtype=jnp.uint32) ^ s.pdm_rng[0]
+                ^ s.pdm_err[0].astype(jnp.uint32)).astype(jnp.float32)
 
     best = timeit(run, state, x)
     rtf = b * t / RATE / best

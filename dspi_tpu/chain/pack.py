@@ -79,6 +79,12 @@ class StaticChain:
     emit: str = "full"                 # "full" | "reduced"
     unroll: int = 8
     outer_unroll: int = 1              # packet-loop unroll
+    # Variable-packet schedule (44.1 kHz delivers 44/45-sample packets at
+    # 1 kHz, current_architecture.md:1092).  A non-empty tuple gives the
+    # per-packet sample counts compiled into the program; all packet
+    # boundaries become static indices, so leveller block semantics stay
+    # bit-exact with zero masking.  Input is then [2, sum(schedule), B].
+    schedule: tuple = ()
 
     @property
     def is_float(self) -> bool:
@@ -137,8 +143,11 @@ class ChainState(NamedTuple):
 
 def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
                  emit: str = "full", pdm: bool = True,
-                 unroll: int = 8, outer_unroll: int = 1) -> StaticChain:
+                 unroll: int = 8, outer_unroll: int = 1,
+                 schedule=None) -> StaticChain:
     cfg = d.config
+    if schedule:
+        block_size = max(schedule)
     nout = cfg.num_outputs
     is_float = cfg.platform is Platform.RP2350
 
@@ -190,6 +199,7 @@ def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
         emit=emit,
         unroll=unroll,
         outer_unroll=outer_unroll,
+        schedule=tuple(int(t) for t in schedule) if schedule else (),
     )
 
 

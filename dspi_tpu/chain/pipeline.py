@@ -222,6 +222,43 @@ def _flatten_time(x):
     return jnp.swapaxes(x, 0, 1).reshape(2, n * t, b)
 
 
+def _segment_layout(static: StaticChain, x):
+    """Resolve the packet schedule to static geometry.
+
+    Uniform chains take x as [Npkt, 2, T, B]; scheduled chains
+    (static.schedule non-empty, e.g. the 44.1 kHz 44/45 cadence) take the
+    already-flat [2, Ttot, B].  Returns (x2 [2, Ttot, B], sched int64
+    [Npkt], Npkt, Ttot, ends int64 [Npkt] = last sample index per packet).
+    Everything except x2 is static."""
+    if static.schedule:
+        sched = np.asarray(static.schedule, np.int64)
+        Npkt = len(sched)
+        Ttot = int(sched.sum())
+        x2 = x
+    else:
+        Npkt = x.shape[0]
+        sched = np.full(Npkt, static.block_size, np.int64)
+        Ttot = Npkt * static.block_size
+        x2 = _flatten_time(x)
+    ends = np.cumsum(sched) - 1
+    return x2, sched, Npkt, Ttot, ends
+
+
+def _ramp_indices(sched):
+    """Static (t_within_packet, packet) index pair for every flat sample —
+    used to gather the per-packet gain ramps into [Ttot, B]."""
+    tt = np.concatenate([np.arange(t, dtype=np.int64) for t in sched])
+    kk = np.repeat(np.arange(len(sched), dtype=np.int64), sched)
+    return tt, kk
+
+
+def _per_packet(vals, sched, Ttot):
+    """Broadcast a per-packet [Npkt, 1|B] array to [Ttot, 1|B] along the
+    (static) schedule."""
+    return jnp.repeat(vals, np.asarray(sched), axis=0,
+                      total_repeat_length=Ttot)
+
+
 def _unflatten(arrs, Npkt, T):
     """[K, Ttot, B] -> [Npkt, K, T, B] for emit='full' compatibility."""
     k, _, b = arrs.shape
@@ -245,7 +282,8 @@ def make_process(static: StaticChain):
 
     def process(params, state, x, preset_mute=None):
         if preset_mute is None:
-            preset_mute = jnp.ones((x.shape[0],), jnp.float32)
+            npkt = len(static.schedule) if static.schedule else x.shape[0]
+            preset_mute = jnp.ones((npkt,), jnp.float32)
         return jitted(params, state, x, preset_mute)
 
     return process
@@ -277,9 +315,7 @@ def _chain_structure(static: StaticChain):
 
 def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
                    x, preset_mute):
-    T = static.block_size
-    Npkt = x.shape[0]
-    Ttot = Npkt * T
+    x2, sched, Npkt, Ttot, ends = _segment_layout(static, x)
     nout = static.n_outputs
     ns2 = static.n_spdif * 2
     master_bands, out_bands = _chain_structure(static)
@@ -290,15 +326,16 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
     vol_mul_master = (p.vol_mul * preset_mute[:, None]) * p.master_vol
 
     # ---- PASS 1: unpack + preamp (usb_audio.c:678-686), whole segment ----
-    x2 = _flatten_time(x)
     bl = x2[0].astype(jnp.float32) * p.unpack_gain[0]
     br = x2[1].astype(jnp.float32) * p.unpack_gain[1]
 
     # ---- scan A: loudness + master EQ + leveller envelope ----
     if static.loudness_on or master_bands or static.leveller_on:
         # the env denormal flush (leveller.c:154-156) fires once per packet,
-        # on the boundary sample
-        pkt_end = (jnp.arange(Ttot, dtype=jnp.int32) % T) == (T - 1)
+        # on the boundary sample (static schedule -> static flag vector)
+        flag_np = np.zeros(Ttot, bool)
+        flag_np[ends] = True
+        pkt_end = jnp.asarray(flag_np)
 
         def scan_a(carry_a, xt):
             loud, eqs, env = carry_a
@@ -362,8 +399,8 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
     # ---- PASS 2.5 leveller block phase (leveller.c:147-262) ----
     if static.leveller_on:
         # per-packet boundary envelopes (already denormal-flushed in scan A)
-        env_l = env_seq_l[T - 1::T]                     # [Npkt, B]
-        env_r = env_seq_r[T - 1::T]
+        env_l = env_seq_l[ends]                         # [Npkt, B]
+        env_r = env_seq_r[ends]
         st = st._replace(lev_env=jnp.stack([env_l[-1], env_r[-1]]))
 
         a_att, a_rel = p.lev[1], p.lev[2]
@@ -386,37 +423,54 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
 
         # block-rate attack/release smoothing: a recurrence over packets.
         # alpha^count correction (leveller.c:223-227) hoisted: pow of the
-        # selected scalar == select of the pows.
-        pow_att = fmath.pow_f32(a_att, jnp.float32(T))
-        pow_rel = fmath.pow_f32(a_rel, jnp.float32(T))
+        # selected scalar == select of the pows; with a variable schedule
+        # the exponent is each packet's own sample count.
+        counts_f = jnp.asarray(sched.astype(np.float32))[:, None]
+        pow_att = fmath.pow_f32(a_att, counts_f)        # [Npkt, 1|B]
+        pow_rel = fmath.pow_f32(a_rel, counts_f)
         inv20 = jnp.float32(np.float32(1.0) / np.float32(20.0))
 
-        def lev_step(carry, gc_k):
+        def lev_step(carry, xs_k):
+            gc_k, pa_k, pr_k = xs_k
             gdb, g = carry
-            alpha = jnp.where(gc_k < gdb, pow_att, pow_rel)
+            alpha = jnp.where(gc_k < gdb, pa_k, pr_k)
             gdb_n = alpha * gdb + (1.0 - alpha) * gc_k
             g_cur = fmath.exp10_f32(gdb_n * inv20)
             return (gdb_n, g_cur), (g, g_cur)
 
         (gdbF, gF), (g_prev_p, g_cur_p) = lax.scan(
-            lev_step, (st.lev_gain_db, st.lev_gain), gc)
+            lev_step, (st.lev_gain_db, st.lev_gain), (gc, pow_att, pow_rel))
         st = st._replace(lev_gain_db=gdbF, lev_gain=gF,
                          lev_gain_prev=g_prev_p[-1])
 
         # gain ramp with the firmware's sequential accumulation, all
-        # packets in parallel
-        if T == 1:
+        # packets in parallel (count == 1 packets jump straight to g_cur,
+        # leveller.c:216-221)
+        Tmax = int(sched.max())
+        if Tmax == 1:
             gains = g_cur_p.reshape(Ttot, -1)
         else:
-            step = (g_cur_p - g_prev_p) * jnp.float32(
-                np.float32(1.0) / np.float32(T - 1))
+            inv = np.zeros(Npkt, np.float32)
+            nz = sched > 1
+            inv[nz] = np.float32(1.0) / (sched[nz] - 1).astype(np.float32)
+            step = (g_cur_p - g_prev_p) * jnp.asarray(inv)[:, None]
+            if bool(np.any(~nz)):
+                one = jnp.asarray(~nz)[:, None]
+                start = jnp.where(one, g_cur_p, g_prev_p)
+                step = jnp.where(one, 0.0, step)
+            else:
+                start = g_prev_p
 
             def ramp(g, _):
                 return g + step, g
 
-            _, gains_t = lax.scan(ramp, g_prev_p, None, length=T,
+            _, gains_t = lax.scan(ramp, start, None, length=Tmax,
                                   unroll=unroll)
-            gains = jnp.swapaxes(gains_t, 0, 1).reshape(Ttot, -1)
+            if static.schedule:
+                tt, kk = _ramp_indices(sched)
+                gains = gains_t[tt, kk]                 # [Ttot, B]
+            else:
+                gains = jnp.swapaxes(gains_t, 0, 1).reshape(Ttot, -1)
 
         if static.leveller_lookahead:
             la = C.LEVELLER_LOOKAHEAD_SAMPLES
@@ -509,9 +563,8 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
             bufs[o] = jnp.zeros_like(bufs[o])
             continue
         gain = p.out_gain[o] * vol_mul_master            # [Npkt, 1|B]
-        g3 = gain[:, None, :]
-        b3 = bufs[o].reshape(Npkt, T, -1)
-        bufs[o] = jnp.where(g3 == 0.0, 0.0, b3 * g3).reshape(Ttot, -1)
+        gain_t = _per_packet(gain, sched, Ttot)          # [Ttot, 1|B]
+        bufs[o] = jnp.where(gain_t == 0.0, 0.0, bufs[o] * gain_t)
 
     # delay lines (usb_audio.c:897-911)
     if static.delayed_outputs:
@@ -559,8 +612,13 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
     outputs["peaks"] = jnp.trunc(
         jnp.minimum(1.0, peaks) * 32767.0).astype(jnp.int32)
     if static.emit == "full":
-        outputs["out"] = _unflatten(jnp.stack(bufs), Npkt, T)
-        outputs["s24"] = _unflatten(s24, Npkt, T)
+        if static.schedule:
+            outputs["out"] = jnp.stack(bufs)             # [nout, Ttot, B]
+            outputs["s24"] = s24                         # [ns2, Ttot, B]
+        else:
+            outputs["out"] = _unflatten(jnp.stack(bufs), Npkt,
+                                        static.block_size)
+            outputs["s24"] = _unflatten(s24, Npkt, static.block_size)
     else:
         outputs["s24_sum"] = jnp.sum(s24, axis=1)
 
@@ -580,9 +638,7 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
 
 def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                  x, preset_mute):
-    T = static.block_size
-    Npkt = x.shape[0]
-    Ttot = Npkt * T
+    x2, sched, Npkt, Ttot, ends = _segment_layout(static, x)
     nout = static.n_outputs
     ns2 = static.n_spdif * 2
     master_bands, out_bands = _chain_structure(static)
@@ -595,7 +651,6 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
     vol_mul_master = q15_mul(vol_mul, p.master_vol)
 
     # ---- PASS 1: unpack + preamp (usb_audio.c:996-1015), whole segment ----
-    x2 = _flatten_time(x)
     if static.bit_depth == 24:
         raw = (x2 << 8) >> 2
     else:
@@ -664,8 +719,8 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
 
     # ---- PASS 2.5 leveller block phase (leveller.c:274-389) ----
     if static.leveller_on:
-        env_l = env_seq_l[T - 1::T]                      # [Npkt, B] Q28
-        env_r = env_seq_r[T - 1::T]
+        env_l = env_seq_l[ends]                          # [Npkt, B] Q28
+        env_r = env_seq_r[ends]
         st = st._replace(lev_env=jnp.stack([env_l[-1], env_r[-1]]))
         inv_q28 = jnp.float32(1.0) / jnp.float32(1 << 28)
         env_l_f = env_l.astype(jnp.float32) * inv_q28
@@ -686,41 +741,57 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
         gc = jnp.minimum(gc + makeup, max_gain)
         gc = jnp.where(rms_db < gate, 0.0, gc)           # [Npkt, B]
 
-        pow_att = fmath.pow_f32(a_att, jnp.float32(T))
-        pow_rel = fmath.pow_f32(a_rel, jnp.float32(T))
+        counts_f = jnp.asarray(sched.astype(np.float32))[:, None]
+        pow_att = fmath.pow_f32(a_att, counts_f)
+        pow_rel = fmath.pow_f32(a_rel, counts_f)
         inv20 = jnp.float32(np.float32(1.0) / np.float32(20.0))
 
-        def lev_step(carry, gc_k):
+        def lev_step(carry, xs_k):
+            gc_k, pa_k, pr_k = xs_k
             gdb, g = carry
-            alpha = jnp.where(gc_k < gdb, pow_att, pow_rel)
+            alpha = jnp.where(gc_k < gdb, pa_k, pr_k)
             gdb_n = alpha * gdb + (1.0 - alpha) * gc_k
             g_cur = _f32_to_i32(fmath.exp10_f32(gdb_n * inv20)
                                 * jnp.float32(C.Q28_ONE))
             return (gdb_n, g_cur), (g, g_cur)
 
         (gdbF, gF), (g_prev_p, g_cur_p) = lax.scan(
-            lev_step, (st.lev_gain_db, st.lev_gain), gc)
+            lev_step, (st.lev_gain_db, st.lev_gain), (gc, pow_att, pow_rel))
         st = st._replace(lev_gain_db=gdbF, lev_gain=gF,
                          lev_gain_prev=g_prev_p[-1])
 
-        # interpolated gain: g_prev + (i64(g_cur-g_prev)*i)/(T-1) with C
+        # interpolated gain: g_prev + (i64(g_cur-g_prev)*i)/(count-1) with C
         # truncating division (leveller.c:352).  JAX has no int64 by
-        # default, so compute |diff|*i/(T-1) in uint32 via the split
+        # default, so compute |diff|*i/(count-1) in uint32 via the split
         # (a*i)//d == (a//d)*i + ((a%d)*i)//d, exact for i <= d and
         # overflow-free since the result is <= a.  Closed form — vectorized
         # over packets and samples.
-        if T == 1:
+        Tmax = int(sched.max())
+        if Tmax == 1:
             gains = g_cur_p.reshape(Ttot, -1)
         else:
-            d_u = np.uint32(T - 1)
+            if static.schedule:
+                d_u = jnp.asarray(
+                    np.maximum(sched - 1, 1).astype(np.uint32))[:, None, None]
+            else:
+                d_u = np.uint32(Tmax - 1)
             diff = g_cur_p - g_prev_p                    # int32 wrap, as C
             neg = diff < 0
             a_u = jnp.where(neg, -diff, diff).astype(jnp.uint32)[:, None, :]
-            i_vec = jnp.arange(T, dtype=jnp.uint32)[None, :, None]
+            i_vec = jnp.arange(Tmax, dtype=jnp.uint32)[None, :, None]
             res = (a_u // d_u) * i_vec + ((a_u % d_u) * i_vec) // d_u
             q = res.astype(jnp.int32)
-            gains = (g_prev_p[:, None, :]
-                     + jnp.where(neg[:, None, :], -q, q)).reshape(Ttot, -1)
+            gains_full = g_prev_p[:, None, :] + jnp.where(neg[:, None, :],
+                                                          -q, q)
+            if bool(np.any(sched == 1)):
+                gains_full = jnp.where(
+                    jnp.asarray(sched == 1)[:, None, None],
+                    g_cur_p[:, None, :], gains_full)
+            if static.schedule:
+                tt, kk = _ramp_indices(sched)
+                gains = gains_full[kk, tt]               # [Ttot, B]
+            else:
+                gains = gains_full.reshape(Ttot, -1)
 
         if static.leveller_lookahead:
             la = C.LEVELLER_LOOKAHEAD_SAMPLES
@@ -820,9 +891,8 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
             continue
         gain = _f32_to_i32(p.out_gain[o]
                            * vol_mul_master.astype(jnp.float32))
-        g3 = gain[:, None, :]
-        b3 = bufs[o].reshape(Npkt, T, -1)
-        bufs[o] = jnp.where(g3 == 0, 0, q15_mul(b3, g3)).reshape(Ttot, -1)
+        gain_t = _per_packet(gain, sched, Ttot)          # [Ttot, 1|B]
+        bufs[o] = jnp.where(gain_t == 0, 0, q15_mul(bufs[o], gain_t))
 
     # delay lines
     if static.delayed_outputs:
@@ -867,8 +937,13 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
     outputs = {}
     outputs["peaks"] = (peaks >> 13) & 0xFFFF
     if static.emit == "full":
-        outputs["out"] = _unflatten(jnp.stack(bufs), Npkt, T)
-        outputs["s24"] = _unflatten(s24, Npkt, T)
+        if static.schedule:
+            outputs["out"] = jnp.stack(bufs)
+            outputs["s24"] = s24
+        else:
+            outputs["out"] = _unflatten(jnp.stack(bufs), Npkt,
+                                        static.block_size)
+            outputs["s24"] = _unflatten(s24, Npkt, static.block_size)
     else:
         outputs["s24_sum"] = jnp.sum(s24, axis=1)
 

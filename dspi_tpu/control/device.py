@@ -24,6 +24,7 @@ from ..io import presets, wire
 from ..params.design import clamp_band, is_filter_flat
 from ..params.types import DeviceConfig, EqBand
 from . import requests as R
+from .envelope import PresetMuteEnvelope
 
 F = np.float32
 
@@ -55,9 +56,25 @@ class VirtualDSPi:
             ["pdm_ring_overruns", "pdm_ring_underruns", "pdm_dma_overruns",
              "pdm_dma_underruns", "spdif_overruns", "spdif_underruns",
              "usb_audio_packets", "ring_overruns"], 0)
+        # The preset-mute envelope is armed automatically by preset/flash
+        # ops (usb_audio.c:456-498, flash_storage.c:272-276); the engine
+        # runner feeds mute_env.packet_gains(...) into Engine.process.
+        self.mute_env = PresetMuteEnvelope()
+        self.runner = None            # optional StreamRunner (buffer stats)
         self.dirty = False
         self._preset_loaded = False
         self.store.boot_load(self.cfg)
+
+    def attach_runner(self, runner) -> None:
+        """Connect a StreamRunner so buffer statistics and starvation
+        counters report real runtime health instead of static values."""
+        self.runner = runner
+
+    def packet_gains(self, n_packets: int, block_size: int) -> np.ndarray:
+        """Per-packet preset-mute gains for the next segment — pass as
+        ``Engine.process(x, preset_mute=...)``."""
+        return self.mute_env.packet_gains(n_packets, block_size,
+                                          int(self.cfg.sample_rate))
 
     def commit(self, engine) -> bool:
         """Push accumulated config changes into an Engine — the analog of
@@ -228,11 +245,14 @@ class VirtualDSPi:
                 nm = payload.split(b"\x00")[0][:C.PRESET_NAME_LEN - 1]
                 cfg.channel_names[ch] = nm.decode("ascii", "replace")
         elif request == R.PRESET_SAVE:
+            self.mute_env.engage(int(cfg.sample_rate))
             self.store.save(ch, cfg)
         elif request == R.PRESET_LOAD:
+            self.mute_env.engage(int(cfg.sample_rate))
             self.store.load(ch, cfg)
             self._preset_loaded = True
         elif request == R.PRESET_DELETE:
+            self.mute_env.engage(int(cfg.sample_rate))
             self.store.delete(ch, cfg)
             self._preset_loaded = True
         elif request == R.PRESET_SET_NAME:
@@ -245,11 +265,14 @@ class VirtualDSPi:
         elif request == R.SET_ALL_PARAMS:
             wire.apply_bulk(cfg, payload, apply_pins=False)
         elif request == R.SAVE_PARAMS:
+            self.mute_env.engage(int(cfg.sample_rate))
             self.store.save(self.store.get_active(), cfg)
         elif request == R.LOAD_PARAMS:
+            self.mute_env.engage(int(cfg.sample_rate))
             self.store.load(self.store.get_active(), cfg)
             self._preset_loaded = True
         elif request == R.FACTORY_RESET:
+            self.mute_env.engage(int(cfg.sample_rate))
             self.store.factory_defaults(cfg)
             self._preset_loaded = True
         elif request == R.CLEAR_CLIPS:
@@ -438,23 +461,57 @@ class VirtualDSPi:
             14: 1150,                   # core voltage mV
             15: int(self.cfg.sample_rate),
             16: 3500,                   # temperature c°C (emulated)
+            # 17-21: S/PDIF DMA starvations, total + per instance
+            # (usb_audio.c:2464-2468) — fed by real feed-deadline misses
+            # when a StreamRunner is attached
+            17: self._starvations(None),
+            18: self._starvations(0),
+            19: self._starvations(1),
+            20: self._starvations(2),
+            21: self._starvations(3),
             22: self.counters["ring_overruns"],
         }
         return struct.pack("<I", sel.get(wvalue, 0) & 0xFFFFFFFF)
 
+    def _starvations(self, slot) -> int:
+        if self.runner is None:
+            return 0
+        st = self.runner.stats
+        if slot is None:
+            return st.starvations_total
+        return st.starvations_slot[slot] if slot < len(st.starvations_slot) \
+            else 0
+
     def _buffer_stats(self) -> bytes:
-        """BufferStatsPacket (config.h:492-519) with healthy steady-state
-        values — the TPU pipeline has no real DMA pools to starve."""
+        """BufferStatsPacket (config.h:492-519).  With a StreamRunner
+        attached, fill/watermarks are derived from the runner's in-flight
+        segment depth — the TPU analog of consumer-pool occupancy; without
+        one, healthy steady-state constants are reported (there are no
+        real DMA pools to starve)."""
         nsp = C.NUM_SPDIF_INSTANCES[self.platform]
         flags = (1 if self.cfg.outputs[-1].enabled else 0) | 0x02
         out = struct.pack("<BBH", nsp, flags, self.counters["usb_audio_packets"]
                           & 0xFFFF)
+        if self.runner is not None:
+            st = self.runner.stats
+            total = max(st.max_inflight, 1)
+            prepared = int(round(st.fill_pct * total / 100))
+            free = total - prepared
+            row = (min(free, 255), min(prepared, 255), 1,
+                   min(st.fill_pct, 100), min(st.min_fill_pct, 100),
+                   min(st.max_fill_pct, 100), 0, 0)
+        else:
+            row = (8, 7, 1, 50, 45, 55, 0, 0)
         for i in range(4):
             if i < nsp:
-                out += struct.pack("<8B", 8, 7, 1, 50, 45, 55, 0, 0)
+                out += struct.pack("<8B", *row)
             else:
                 out += bytes(8)
-        out += struct.pack("<8B", 12, 10, 15, 50, 45, 55, 0, 0)
+        if self.runner is not None:
+            out += struct.pack("<8B", row[0], row[1], row[2], row[3],
+                               row[4], row[5], 0, 0)
+        else:
+            out += struct.pack("<8B", 12, 10, 15, 50, 45, 55, 0, 0)
         return out
 
     # ------------------------------------------------------------------

@@ -17,21 +17,19 @@ The quantizer feedback is a nonlinear recurrence — inherently sequential in
 time.  All throughput comes from the stream axis: every bit step is one
 vector op across [B] streams.
 
-Bit-step algebra (exact int32 rewrites of the reference loop, chosen to
-minimize the op count and the cross-bit dependency chain):
+Bit-step formulation: EXACTLY the reference's op shape.  Measured on v5e
+(pdm_experiments.py, B=8192):
 
-  * the per-chunk dither is folded into the carried value
-    ``e2d = err2 + dither`` so the quantizer test is a bare sign test;
-  * the two err updates become selects between per-sample precomputed
-    increments: with c = (e2d >= 0),
-        err  += (target - fb)        == select(c, target-65535, target)
-        e2d  += err_new - fb         == err_old + select(c, target-131070,
-                                                          target)
-  * the output bit is OR-ed in at its final position with a constant mask
-    instead of a shift-or chain.
+  reference form (compare err2+dither, scalar-const fb select) : 2095x RT
+  dither folded into the carry (one add/bit fewer!)             :  932x
+  increments as selects of per-sample [B] arrays                : 1038x
+  mask-or instead of shift-or word build                        : equal
 
-This is 8 vector ops per bit with a 4-op critical path (cmp - select -
-add - add); the reference formulation costs ~10 with the same path.
+Fewer ops on paper lost 2x in practice — both "optimizations" knock the
+Mosaic lowering off its fast path (vector-operand selects cost far more
+than scalar-splat selects, and the folded carry defeats whatever pattern
+the compare+add hits).  Keep the reference formulation; change it only
+with a fresh pdm_experiments.py measurement.
 
 Sample-scope work (clip, fade ramp, target) is closed-form over the whole
 segment and computed vectorized outside the scan: the fade counter is
@@ -93,40 +91,29 @@ def _targets(x, fade0):
     return pcm + 32768, fade
 
 
-_BIT_MASKS = tuple(jnp.uint32(1 << (31 - k)) for k in range(32))
-
-
-def _chunk_unrolled(err, e2d, target_m1, target_m2, target):
-    """One 32-bit chunk with the dither pre-folded into e2d.
-
-    target_m1 = target - 65535, target_m2 = target - 131070 (per sample,
-    [B]).  Returns (err', e2d', word)."""
+def _chunk_unrolled(err, err2, dither, target):
+    """One 32-bit chunk (pdm_generator.c:367-380 op shape).
+    Returns (err', err2', word)."""
     word = jnp.zeros(err.shape, jnp.uint32)
-    zero = jnp.uint32(0)
-    for k in range(32):
-        c = e2d >= 0
-        word = word | jnp.where(c, _BIT_MASKS[k], zero)
-        d2 = jnp.where(c, target_m2, target)
-        e2d = e2d + (err + d2)
-        err = err + jnp.where(c, target_m1, target)
-    return err, e2d, word
+    for _k in range(32):
+        cond = (err2 + dither) >= 0
+        fb = jnp.where(cond, 65535, 0)
+        word = (word << 1) | cond.astype(jnp.uint32)
+        err = err + (target - fb)
+        err2 = err2 + (err - fb)
+    return err, err2, word
 
 
 def _sample_unrolled(carry, xs):
     err, err2, ns, rng = carry
     target = xs
-    target_m1 = target - 65535
-    target_m2 = target - 131070
     words = []
     for _ in range(C.PDM_CHUNKS):
         rng = _xorshift32(rng)
         raw = (rng & C.PDM_DITHER_MASK).astype(jnp.int32) \
             - (C.PDM_DITHER_MASK >> 1)
         dither, ns = _noise_shaper(ns, raw, err2 >> 8)
-        e2d = err2 + dither
-        err, e2d, word = _chunk_unrolled(err, e2d, target_m1, target_m2,
-                                         target)
-        err2 = e2d - dither
+        err, err2, word = _chunk_unrolled(err, err2, dither, target)
         words.append(word)
     err = err - (err >> C.PDM_LEAKAGE_SHIFT)
     err2 = err2 - (err2 >> C.PDM_LEAKAGE_SHIFT)
@@ -137,17 +124,15 @@ def _sample_fori(carry, xs):
     """Same math, rolled into fori_loops (fast XLA:CPU compile)."""
     err, err2, ns, rng = carry
     target = xs
-    target_m1 = target - 65535
-    target_m2 = target - 131070
 
     def bit_body(_, st):
-        err, e2d, word = st
-        c = e2d >= 0
-        word = (word << 1) | c.astype(jnp.uint32)
-        d2 = jnp.where(c, target_m2, target)
-        e2d = e2d + (err + d2)
-        err = err + jnp.where(c, target_m1, target)
-        return err, e2d, word
+        err, err2, word, dither = st
+        cond = (err2 + dither) >= 0
+        fb = jnp.where(cond, 65535, 0)
+        word = (word << 1) | cond.astype(jnp.uint32)
+        err = err + (target - fb)
+        err2 = err2 + (err - fb)
+        return err, err2, word, dither
 
     def chunk_body(j, st):
         err, err2, ns, rng, words = st
@@ -156,9 +141,8 @@ def _sample_fori(carry, xs):
             - (C.PDM_DITHER_MASK >> 1)
         dither, ns = _noise_shaper(ns, raw, err2 >> 8)
         word0 = jnp.zeros(err.shape, jnp.uint32)
-        err, e2d, word = lax.fori_loop(0, 32, bit_body,
-                                       (err, err2 + dither, word0))
-        err2 = e2d - dither
+        err, err2, word, _ = lax.fori_loop(0, 32, bit_body,
+                                           (err, err2, word0, dither))
         words = lax.dynamic_update_slice_in_dim(words, word[None], j, axis=0)
         return err, err2, ns, rng, words
 

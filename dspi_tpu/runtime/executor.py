@@ -70,6 +70,36 @@ def shard_input(x, mesh: Mesh):
         x, NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["streams"]))))
 
 
+class RunnerStats:
+    """Observable runtime health — the TPU analog of the firmware's buffer
+    statistics and starvation counters (config.h:492-519,
+    audio_spdif.c:361-379).  Fill level is the in-flight segment depth
+    against ``max_inflight``; a *starvation* is a missed feed deadline: the
+    host failed to enqueue the next segment within one segment's worth of
+    audio time, which on the device would have forced silence-buffer
+    substitution on every active output slot."""
+
+    def __init__(self, n_slots: int = 4, max_inflight: int = 2):
+        self.n_slots = n_slots
+        self.max_inflight = max_inflight
+        self.segments = 0
+        self.starvations_total = 0
+        self.starvations_slot = [0, 0, 0, 0]
+        self.fill_pct = 0
+        self.min_fill_pct = 100
+        self.max_fill_pct = 0
+
+    def record_fill(self, depth: int):
+        self.fill_pct = int(100 * depth / max(self.max_inflight, 1))
+        self.min_fill_pct = min(self.min_fill_pct, self.fill_pct)
+        self.max_fill_pct = max(self.max_fill_pct, self.fill_pct)
+
+    def record_starvation(self):
+        for i in range(min(self.n_slots, 4)):
+            self.starvations_slot[i] += 1
+            self.starvations_total += 1
+
+
 class StreamRunner:
     """Asynchronous segment pump over an Engine.
 
@@ -78,20 +108,43 @@ class StreamRunner:
     compute of segment N — the TPU analog of the firmware's SPSC-ring
     producer/consumer decoupling (usb_audio_ring.h:31-131), with XLA's
     stream ordering standing in for the memory barriers.
+
+    ``deadline_s`` (optional) turns on real-time accounting: when the gap
+    between consecutive feeds exceeds it, the device side would have
+    starved — every active output slot's starvation counter increments
+    (audio_spdif.c:361-379 semantics).  ``stats`` feeds the vendor buffer
+    statistics through ``VirtualDSPi.attach_runner``.
     """
 
-    def __init__(self, engine, mesh: Mesh | None = None, max_inflight: int = 2):
+    def __init__(self, engine, mesh: Mesh | None = None, max_inflight: int = 2,
+                 deadline_s: float | None = None, n_slots: int | None = None):
         self.engine = engine
         self.mesh = mesh
         self.max_inflight = max_inflight
+        self.deadline_s = deadline_s
+        if n_slots is None:
+            st = getattr(engine, "static", None)
+            n_slots = st.n_spdif if st is not None else 4
+        self.stats = RunnerStats(n_slots=n_slots, max_inflight=max_inflight)
         self._inflight: list = []
+        self._t_last_feed: float | None = None
 
     def feed(self, x: np.ndarray, preset_mute=None):
         """Enqueue one segment; returns the (lazy) output dict."""
+        import time
+
+        now = time.perf_counter()
+        if (self.deadline_s is not None and self._t_last_feed is not None
+                and now - self._t_last_feed > self.deadline_s):
+            self.stats.record_starvation()
+        self._t_last_feed = now
+
         if self.mesh is not None:
             x = shard_input(np.asarray(x), self.mesh)
         out = self.engine.process(x, preset_mute)
         self._inflight.append(out)
+        self.stats.segments += 1
+        self.stats.record_fill(len(self._inflight))
         if len(self._inflight) > self.max_inflight:
             done = self._inflight.pop(0)
             jax.block_until_ready(done)
@@ -105,4 +158,5 @@ class StreamRunner:
             jax.block_until_ready(out)
             last = out
         self._inflight.clear()
+        self.stats.record_fill(0)
         return last

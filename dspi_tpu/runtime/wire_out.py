@@ -24,6 +24,18 @@ class WireEncoder:
         self.block_size = block_size
         self.frame_pos = 0            # position within the 192-frame block
 
+    def apply_types(self, output_types) -> bool:
+        """Mid-stream S/PDIF<->I2S switch (process_type_switches,
+        main.c:230-423): when any slot's type changes the firmware tears
+        the instances down and restarts them cycle-synchronized, which
+        resets the IEC 60958 block position.  Returns True on a switch."""
+        new = list(output_types)
+        if new == self.output_types:
+            return False
+        self.output_types = new
+        self.frame_pos = 0
+        return True
+
     def encode(self, s24):
         """s24: int32 [n_packets, 2*n_spdif, T, B] from the pipeline.
 

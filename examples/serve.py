@@ -44,6 +44,13 @@ def main():
     wire = WireEncoder(dev.cfg, block)
     tele = EngineTelemetry(sample_rate=dev.cfg.sample_rate)
 
+    # real-time accounting: starvation counters + buffer stats are fed by
+    # the runner (GET_STATUS 17-21, GET_BUFFER_STATS)
+    from dspi_tpu.runtime.executor import StreamRunner
+    runner = StreamRunner(eng, max_inflight=2,
+                          deadline_s=npkt * block / dev.cfg.sample_rate)
+    dev.attach_runner(runner)
+
     rng = np.random.default_rng(0)
     print(f"serving {n_streams} streams, {n_segments} segments of "
           f"{npkt * block / 48:.0f} ms")
@@ -52,7 +59,8 @@ def main():
         x = rng.integers(-20000, 20000,
                          size=(npkt, 2, block, n_streams)).astype(np.int32)
         tele.segment_begin()
-        out = eng.process(x)
+        # preset-mute envelope gains (unity unless a preset op is pending)
+        out = runner.feed(x, preset_mute=dev.packet_gains(npkt, block))
         import jax
         jax.block_until_ready(out)
         rtf = tele.segment_end(npkt, block, n_streams)
@@ -63,6 +71,11 @@ def main():
             dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", -6.0))
             dev.commit(eng)
             print("  [mid-run] master volume -> -6 dB (no recompile)")
+        if seg == n_segments // 2 + 1:
+            # preset save: arms the firmware's 8 ms anti-pop fade
+            dev.set(R.PRESET_SAVE, 1)
+            dev.commit(eng)
+            print("  [mid-run] preset save -> 8 ms mute envelope armed")
 
         if seg % 5 == 0:
             words = wire.encode(out["s24"])
@@ -72,8 +85,10 @@ def main():
                   f"  peak L/R {peaks[0]}/{peaks[1]}"
                   f"  spdif words {words['pair0'].shape}")
 
+    runner.drain()
     print(f"done: {tele.packets_processed} packets, mean load "
-          f"{dev.cpu_loads[0]}%")
+          f"{dev.cpu_loads[0]}%, starvations "
+          f"{struct.unpack('<I', dev.get(R.GET_STATUS, 17))[0]}")
 
 
 if __name__ == "__main__":

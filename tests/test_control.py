@@ -149,3 +149,84 @@ def test_rp2040_geometry():
     assert pid == 0 and nch == 5
     assert dev.get(R.GET_OUTPUT_ENABLE, 4) is not None
     assert dev.get(R.GET_OUTPUT_ENABLE, 5) is None
+
+
+def test_preset_mute_envelope_armed_by_preset_ops(dev):
+    """Preset/flash ops automatically arm the 8 ms fade
+    (usb_audio.c:456-498, flash_storage.c:272-276) — round-1 gap."""
+    dev.set(R.PRESET_SAVE, 0)
+    assert dev.mute_env.loading
+    gains = dev.packet_gains(40, 48)
+    assert gains[0] < 1.0                       # fading toward mute
+    assert gains.min() == 0.0                   # reaches full mute
+    assert gains[-1] == 1.0                     # recovers after the hold
+    # golden staircase shape: 8 ms transition = 384 samples @48k -> 8 packets
+    descending = np.diff(gains[:8])
+    assert (descending <= 0).all()
+
+
+def test_preset_mute_envelope_through_engine(dev):
+    """PRESET_LOAD -> Engine.process fades the outputs with the exact
+    staircase the golden model computes from the same envelope."""
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.control.envelope import PresetMuteEnvelope
+
+    dev.set(R.SET_OUTPUT_ENABLE, 0, b"\x01")
+    dev.set(R.PRESET_SAVE, 0)                    # arms the fade
+    eng = Engine(dev.cfg, n_streams=1, pdm=False, unroll=2)
+    npkt, block = 12, 48
+    gains = dev.packet_gains(npkt, block)
+
+    x = np.full((npkt, 2, block, 1), 12000, np.int32)
+    out = eng.process(x, preset_mute=gains)
+    got = np.asarray(out["out"])[:, 0, :, 0]     # [npkt, T] output 0
+
+    # packet gain staircase must scale the whole packet; compare vs the
+    # same engine run un-muted
+    eng2 = Engine(dev.cfg, n_streams=1, pdm=False, unroll=2)
+    ref = np.asarray(eng2.process(x)["out"])[:, 0, :, 0]
+    for k in range(npkt):
+        np.testing.assert_allclose(got[k], ref[k] * gains[k],
+                                   rtol=2e-6, atol=1e-7)
+    k0 = int(np.argmin(gains))                   # fully muted packet
+    assert gains[k0] == 0.0
+    assert np.abs(got[k0]).max() == 0.0
+
+    env = PresetMuteEnvelope()
+    env.engage(48000)
+    want = np.array([env.step(block, 48000) for _ in range(npkt)], np.float32)
+    np.testing.assert_array_equal(gains, want)
+
+
+def test_runner_stats_feed_status_surface(dev):
+    """Buffer stats + starvation selectors 17-21 move with real runner
+    events (round-1 had hardcoded values and missing selectors)."""
+    import time
+
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.runtime.executor import StreamRunner
+
+    eng = Engine(dev.cfg, n_streams=4, pdm=False, unroll=2, emit="reduced")
+    # 3 packets of 48 @48 kHz = 3 ms of audio per segment
+    runner = StreamRunner(eng, max_inflight=2, deadline_s=0.003)
+    dev.attach_runner(runner)
+
+    x = np.zeros((3, 2, 48, 4), np.int32)
+    runner.feed(x)
+    time.sleep(0.02)                              # miss the deadline hard
+    runner.feed(x)
+    runner.drain()
+
+    total = struct.unpack("<I", dev.get(R.GET_STATUS, 17))[0]
+    slot0 = struct.unpack("<I", dev.get(R.GET_STATUS, 18))[0]
+    assert total >= 1 and slot0 >= 1
+    assert total == sum(
+        struct.unpack("<I", dev.get(R.GET_STATUS, 18 + i))[0]
+        for i in range(4))
+
+    stats = dev.get(R.GET_BUFFER_STATS)
+    nsp, flags, _ = struct.unpack_from("<BBH", stats, 0)
+    free, prepared, playing, fill, lo, hi = struct.unpack_from("<6B", stats, 4)
+    assert nsp >= 1
+    assert hi >= fill >= lo                       # real watermarks
+    assert runner.stats.max_fill_pct == hi

@@ -75,3 +75,46 @@ def test_engine_telemetry_feeds_device():
     t.feed_device(d, out, stream=1)
     assert d.peaks == list(range(1, 22, 2))
     assert d.counters["usb_audio_packets"] == 4
+
+
+def test_mid_stream_type_switch(rng):
+    """SET_OUTPUT_TYPE S/PDIF<->I2S applied mid-run through the control
+    plane: word streams switch format and the IEC block position resets
+    (process_type_switches, main.c:230-423) — round-1 gap #10."""
+    import struct
+
+    from dspi_tpu.control import requests as R
+    from dspi_tpu.control.device import VirtualDSPi
+
+    dev = VirtualDSPi(Platform.RP2350)
+    w = WireEncoder(dev.cfg, 48)
+    s24 = _s24(rng, (2, 8, 48, 1))               # 96 frames
+    out1 = w.encode(s24)
+    assert out1["pair1"].shape == (96, 4, 1)     # S/PDIF before the switch
+    assert w.frame_pos == 96
+
+    # host flips pair 1 to I2S; main loop applies it
+    dev.set(R.SET_OUTPUT_TYPE, 1, b"\x01")
+    assert dev.get(R.GET_OUTPUT_TYPE, 1) == b"\x01"
+    assert w.apply_types(dev.cfg.hardware.output_types)
+    assert w.frame_pos == 0                      # synchronized restart
+
+    out2 = w.encode(s24)
+    assert out2["pair1"].shape == (96, 2, 1)     # now raw I2S words
+    np.testing.assert_array_equal(
+        out2["pair1"][:, 0, 0],
+        encoders.encode_i2s(s24[:, 2].reshape(-1, 1)[:, 0]))
+    # pair 0 stays S/PDIF and restarts at block position 0: Z preamble at
+    # frame 0 of the new stream
+    pre = np.asarray(out2["pair0"][:, 0, 0]) & 0xFF
+    assert pre[0] == 0b00111001
+
+    # switching back restores S/PDIF framing
+    dev.set(R.SET_OUTPUT_TYPE, 1, b"\x00")
+    assert w.apply_types(dev.cfg.hardware.output_types)
+    out3 = w.encode(s24)
+    assert out3["pair1"].shape == (96, 4, 1)
+    # no-op apply does not reset position
+    pos = w.frame_pos
+    assert not w.apply_types(dev.cfg.hardware.output_types)
+    assert w.frame_pos == pos
