@@ -35,10 +35,18 @@ Sample-scope work (clip, fade ramp, target) is closed-form over the whole
 segment and computed vectorized outside the scan: the fade counter is
 ``min(fade0 + t, 1024)`` exactly (pdm_generator.c:351-358).
 
-Two lowerings of the same math:
+Three lowerings of the same math:
 
-  * ``unrolled`` — all 256 bit steps straight-line inside the scan body;
-    what the TPU runs (XLA fuses the whole body).
+  * ``pallas``   — the production TPU path (kernels/pdm_pallas.py): a
+    Mosaic kernel with the modulator state register/VMEM-resident across
+    the whole segment.  Measured 30,854x RT at B=8192 on v5e (36,015x at
+    B=32768) vs 2,346x for the XLA scan — 13x.  Round 1 concluded the
+    opposite because its per-call walls sat on the ~27 ms tunnel-readback
+    floor; chained-on-device timing (8 segment iterations inside one jit,
+    one readback) shows the truth.  Requires B % 1024 == 0 and a segment
+    length divisible by a usable time chunk; falls back otherwise.
+  * ``unrolled`` — all 256 bit steps straight-line inside a lax.scan body;
+    the XLA fallback (and the reference the others are tested against).
   * ``fori``     — nested lax.fori_loop over chunks/bits; ~100x faster to
     compile on XLA:CPU, used by the test suite (the unrolled body used to
     cost >2 min of compile per chain variant on CPU hosts).
@@ -154,13 +162,27 @@ def _sample_fori(carry, xs):
     return (err, err2, ns, rng), words
 
 
+def _pallas_tiles(ttot: int, b: int):
+    """Pick (tc, bt) for the Pallas kernel, or None if the shapes don't
+    tile.  bt: widest stream tile dividing B (more vregs per op -> more
+    ILP); tc sized so the double-buffered words block stays ~<=8 MB."""
+    bt = next((c for c in (8192, 4096, 2048, 1024) if b % c == 0), None)
+    if bt is None:
+        return None
+    cap = max(1, (4 << 20) // (8 * bt * 4))          # words block <= 4 MB
+    tc = next((c for c in (32, 16, 8, 4, 2, 1)
+               if c <= cap and ttot % c == 0), None)
+    return None if tc is None else (tc, bt)
+
+
 def resolve_impl(impl: str = "auto") -> str:
     """'auto' picks the fast-compiling fori lowering on XLA:CPU (where the
-    256-wide unrolled body costs minutes of compile) and the straight-line
-    body elsewhere.  Override with DSPI_PDM_IMPL."""
+    256-wide unrolled body costs minutes of compile) and the Pallas kernel
+    on TPU.  Override with DSPI_PDM_IMPL."""
     impl = os.environ.get("DSPI_PDM_IMPL", impl)
     if impl == "auto":
-        impl = "fori" if jax.default_backend() == "cpu" else "unrolled"
+        backend = jax.default_backend()
+        impl = "fori" if backend == "cpu" else "pallas"
     return impl
 
 
@@ -170,8 +192,15 @@ def pdm_segment(state, x, unroll: int = 1, impl: str = "auto"):
     ``state`` is a ChainState (only the pdm_* fields are used/updated).
     ``x``: int32 [T, B] Q28 samples.  Returns (state', words uint32 [T,8,B]).
     """
+    impl = resolve_impl(impl)
+    if impl == "pallas":
+        tiles = _pallas_tiles(x.shape[0], x.shape[1])
+        if tiles is not None:
+            from .pdm_pallas import pdm_segment_fast
+            return pdm_segment_fast(state, x, tc=tiles[0], bt=tiles[1])
+        impl = "unrolled"
     target, fade = _targets(x, state.pdm_fade)
-    body = _sample_fori if resolve_impl(impl) == "fori" else _sample_unrolled
+    body = _sample_fori if impl == "fori" else _sample_unrolled
     ns0 = tuple(state.pdm_ns[i] for i in range(5))
     carry0 = (state.pdm_err, state.pdm_err2, ns0, state.pdm_rng)
     (err, err2, ns, rng), words = lax.scan(body, carry0, target,
