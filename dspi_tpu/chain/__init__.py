@@ -28,18 +28,28 @@ class Engine:
                  bit_depth: int = 16, emit: str = "full", pdm: bool = True,
                  unroll: int = 8, outer_unroll: int = 1,
                  pdm_fade: bool = True, pdm_seed=C.PDM_RNG_SEED,
-                 schedule=None):
+                 schedule=None, mxu="auto"):
         """``schedule``: optional per-packet sample counts compiled into the
         program (44.1 kHz delivers 44/45-sample packets at 1 kHz cadence,
         current_architecture.md:1092).  With a schedule, ``process`` takes
-        x as [2, sum(schedule), B] and emit='full' outputs are time-flat."""
+        x as [2, sum(schedule), B] and emit='full' outputs are time-flat.
+
+        ``mxu``: lower the float chain's LTI passes to MXU block matmuls
+        (chain/mxu.py; <=1e-6 RMS firmware budget instead of golden
+        bit-exactness).  'auto' enables it on the TPU backend; the scan
+        path — bit-identical to the golden model — is the default
+        elsewhere and for Q28/scheduled chains."""
+        if mxu == "auto":
+            import jax
+
+            mxu = jax.default_backend() == "tpu"
         self.cfg = cfg
         self.n_streams = n_streams
         self.derived = derive(cfg)
         self.static = build_static(self.derived, block_size=block_size,
                                    bit_depth=bit_depth, emit=emit, pdm=pdm,
                                    unroll=unroll, outer_unroll=outer_unroll,
-                                   schedule=schedule)
+                                   schedule=schedule, mxu=mxu)
         self.params = build_params(self.derived, self.static)
         self.state = init_state(self.static, n_streams, pdm_seed=pdm_seed,
                                 pdm_fade=pdm_fade)
@@ -71,7 +81,7 @@ class Engine:
             bit_depth=old_static.bit_depth, emit=old_static.emit,
             pdm=old_static.pdm_on or cfg.outputs[-1].enabled,
             unroll=old_static.unroll, outer_unroll=old_static.outer_unroll,
-            schedule=old_static.schedule)
+            schedule=old_static.schedule, mxu=old_static.mxu)
         structural = new_static != old_static
         if structural:
             self.static = new_static

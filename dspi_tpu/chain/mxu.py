@@ -1,0 +1,309 @@
+"""MXU block-state-space lowering of the float chain's LTI passes.
+
+The firmware's recurrent float passes — ISO 226 loudness shelves + master
+EQ (usb_audio.c:689-718, dsp_pipeline.c:282-365), BS2B crossfeed
+(crossfeed.c:131-156), and the per-output EQ (usb_audio.c:873-894) — are
+linear time-invariant maps between parameter updates.  Over one emulated
+USB packet of T samples, any LTI pass is exactly a matrix:
+
+    [y_0..y_{T-1}; s_out]  =  M @ [x_0..x_{T-1}; s_in]
+
+with M in R^[(n_out*T + S) x (n_in*T + S)].  This module builds M by the
+impulse method — it feeds one-hot basis vectors through the *same*
+per-sample step code the sequential scan path uses (pipeline._band_step_f32
+/ _svf_general_f32 / the crossfeed+matrix math), so every structural
+semantic (SVF vs TDF2 kinds, loudness runtime bypass freeze, the matrix
+mixer's 0/1-input specialization, disabled-output zeroing) is inherited by
+construction — and then applies it per packet as one MXU matmul over the
+whole stream batch, scanning only the tiny state carry across packets.
+
+Numerics: the matmul superposition re-rounds what the firmware computes
+sequentially, so this path is *not* bit-identical to the golden model; it
+is held to the BASELINE fidelity budget instead (<=1e-6 relative RMS vs
+the firmware float path; measured ~1e-7, see tests/test_mxu.py).  All
+matmuls run at Precision.HIGHEST (f32-accurate on the MXU).  The Q28 path
+never uses this lowering — integer bit-exactness does not survive
+reassociation.
+
+Throughput: the sequential scans run ~1,100 dependent VPU ops per sample;
+as block matmuls the same math rides the MXU at >100k x RT, leaving the
+VPU free for the delta-sigma PDM kernel.
+
+Restrictions: uniform packet schedules and homogeneous (non-per-stream)
+parameters; the caller falls back to the scan path otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import constants as C
+
+_HI = lax.Precision.HIGHEST
+F = np.float32
+
+
+def _linearize(step, T: int, n_in: int, S: int, unroll: int = 8):
+    """Build the impulse responses of ``step`` over a T-sample block.
+
+    ``step(s, x_t) -> (s', y_t)`` with state ``s`` [S, C] and per-sample
+    input ``x_t`` [n_in, C] (squeezed to [C] when n_in == 1), evaluated on
+    C = n_in*T + S basis columns: one per input sample slot (z layout
+    [in0(T); in1(T); ...; s]) and one per state slot.
+
+    Returns (Y, sF): Y [T, ...out..., C] stacked per-sample outputs and the
+    final state sF [S, C] — the caller assembles M from them.
+    """
+    Cc = n_in * T + S
+    X = np.zeros((T, n_in, Cc), F)
+    for t in range(T):
+        for i in range(n_in):
+            X[t, i, i * T + t] = 1.0
+    S0 = np.zeros((S, Cc), F)
+    for k in range(S):
+        S0[k, n_in * T + k] = 1.0
+    xs = jnp.asarray(X[:, 0] if n_in == 1 else X)
+    sF, Y = lax.scan(lambda s, x: step(s, x), jnp.asarray(S0), xs,
+                     unroll=unroll)
+    return Y, sF
+
+
+# ----------------------------------------------------------------------------
+# chain A: loudness shelves + master EQ (per channel SISO)
+# ----------------------------------------------------------------------------
+
+
+def _make_a_step(static, p, ch, ch_bands):
+    from .pipeline import _band_step_f32, _svf_general_f32
+
+    loud = static.loudness_on
+
+    def step(s, x):
+        cur = x
+        new = []
+        i = 0
+        if loud:
+            for j in range(2):
+                cur, (sa, sb) = _svf_general_f32(
+                    p.loud_sva[j], (s[i], s[i + 1]), cur, p.loud_bypass[j])
+                new += [sa, sb]
+                i += 2
+        for (c, band, kind) in ch_bands:
+            cur, (sa, sb) = _band_step_f32(kind, p.eq_f32[c, band],
+                                           (s[i], s[i + 1]), cur)
+            new += [sa, sb]
+            i += 2
+        return jnp.stack(new), cur
+
+    return step, (4 if loud else 0) + 2 * len(ch_bands)
+
+
+def _a_state_get(static, st, ch, ch_bands):
+    rows = []
+    if static.loudness_on:
+        for j in range(2):
+            rows += [st.loud_a[ch, j], st.loud_b[ch, j]]
+    for (c, band, kind) in ch_bands:
+        if kind != 1:                                # != TDF2 -> SVF
+            rows += [st.eq_c[c, band], st.eq_d[c, band]]
+        else:
+            rows += [st.eq_a[c, band], st.eq_b[c, band]]
+    return jnp.stack(rows)
+
+
+def _a_state_set(static, st, ch, ch_bands, vec):
+    i = 0
+    if static.loudness_on:
+        loud_a, loud_b = st.loud_a, st.loud_b
+        for j in range(2):
+            loud_a = loud_a.at[ch, j].set(vec[i])
+            loud_b = loud_b.at[ch, j].set(vec[i + 1])
+            i += 2
+        st = st._replace(loud_a=loud_a, loud_b=loud_b)
+    for (c, band, kind) in ch_bands:
+        if kind != 1:
+            st = st._replace(eq_c=st.eq_c.at[c, band].set(vec[i]),
+                             eq_d=st.eq_d.at[c, band].set(vec[i + 1]))
+        else:
+            st = st._replace(eq_a=st.eq_a.at[c, band].set(vec[i]),
+                             eq_b=st.eq_b.at[c, band].set(vec[i + 1]))
+        i += 2
+    return st
+
+
+def chain_a(static, p, st, bl, br, master_bands, Npkt):
+    """Apply loudness + master EQ to both channels as per-packet matmuls.
+
+    bl/br: [Ttot, B] post-preamp samples.  Returns (st', bl', br')."""
+    T = static.block_size
+    B = bl.shape[-1]
+    outs = [bl, br]
+    for ch in (0, 1):
+        ch_bands = [t for t in master_bands if t[0] == ch]
+        step, S = _make_a_step(static, p, ch, ch_bands)
+        if S == 0:
+            continue
+        Y, sF = _linearize(step, T, 1, S)
+        M = jnp.concatenate([Y, sF], axis=0)         # [T+S, T+S]
+        x = outs[ch].reshape(Npkt, T, B)
+        s0 = _a_state_get(static, st, ch, ch_bands)
+
+        def body(s, x_k, M=M):
+            w = jnp.matmul(M, jnp.concatenate([x_k, s], axis=0),
+                           precision=_HI)
+            return w[T:], w[:T]
+
+        sFin, y = lax.scan(body, s0, x)
+        outs[ch] = y.reshape(Npkt * T, B)
+        st = _a_state_set(static, st, ch, ch_bands, sFin)
+    return st, outs[0], outs[1]
+
+
+# ----------------------------------------------------------------------------
+# leveller RMS envelope at packet ends (closed-form block reduction)
+# ----------------------------------------------------------------------------
+
+
+def env_packet_ends(static, p, st, bl, br, Npkt):
+    """Packet-end RMS envelopes (leveller.c:150-156) as weighted block sums.
+
+    env_t = a*env_{t-1} + (1-a)*y_t^2 unrolled over one packet:
+    env_end = a^T * env_start + sum_j a^(T-1-j) * (1-a) * y_j^2, with the
+    firmware's denormal flush applied at every packet boundary.
+    Returns (env_l, env_r) [Npkt, B] — flushed boundary values."""
+    T = static.block_size
+    B = bl.shape[-1]
+    a = p.lev[0]
+    pw = jnp.cumprod(jnp.full((T,), a, jnp.float32))          # a^1..a^T
+    aT = pw[-1]
+    w = jnp.concatenate([pw[:T - 1][::-1],
+                         jnp.ones((1,), jnp.float32)]) * (1.0 - a)
+    cl = jnp.einsum("t,ptb->pb", w, (bl * bl).reshape(Npkt, T, B),
+                    precision=_HI)
+    cr = jnp.einsum("t,ptb->pb", w, (br * br).reshape(Npkt, T, B),
+                    precision=_HI)
+
+    def body(env, c):
+        el = aT * env[0] + c[0]
+        er = aT * env[1] + c[1]
+        el = jnp.where(el < 1e-30, 0.0, el)
+        er = jnp.where(er < 1e-30, 0.0, er)
+        return (el, er), (el, er)
+
+    _, (env_l, env_r) = lax.scan(body, (st.lev_env[0], st.lev_env[1]),
+                                 (cl, cr))
+    return env_l, env_r
+
+
+# ----------------------------------------------------------------------------
+# chain B: crossfeed + matrix mixer + per-output EQ (2-in nout-out MIMO)
+# ----------------------------------------------------------------------------
+
+
+def _make_b_step(static, p, out_bands):
+    from .pipeline import _band_step_f32
+
+    nout = static.n_outputs
+    xf_on = static.crossfeed_on
+
+    def step(s, x):
+        ml, mr = x[0], x[1]
+        new = []
+        i = 0
+        if xf_on:
+            lp_a0, lp_b1, ap_a = p.xf[0], p.xf[1], p.xf[2]
+            lpL, lpR, apL, apR = s[0], s[1], s[2], s[3]
+            lp_l = lp_a0 * ml + lp_b1 * lpL
+            lp_r = lp_a0 * mr + lp_b1 * lpR
+            ap_l = ap_a * lp_l + apL
+            apL_n = lp_l - ap_a * ap_l
+            ap_r = ap_a * lp_r + apR
+            apR_n = lp_r - ap_a * ap_r
+            ml, mr = (ml - lp_l) + ap_r, (mr - lp_r) + ap_l
+            new += [lp_l, lp_r, apL_n, apR_n]
+            i = 4
+        bufs = []
+        for o in range(nout):
+            if not static.output_enabled[o]:
+                bufs.append(jnp.zeros_like(ml))
+                continue
+            gl, gr = p.matrix_gain[0, o], p.matrix_gain[1, o]
+            both = ml * gl + mr * gr
+            bufs.append(jnp.where(
+                (gl != 0.0) & (gr != 0.0), both,
+                jnp.where(gl != 0.0, ml * gl,
+                          jnp.where(gr != 0.0, mr * gr, 0.0))))
+        for (ch, band, kind) in out_bands:
+            o = ch - C.CH_OUT_1
+            bufs[o], (sa, sb) = _band_step_f32(
+                kind, p.eq_f32[ch, band], (s[i], s[i + 1]), bufs[o])
+            new += [sa, sb]
+            i += 2
+        return (jnp.stack(new) if new else s), jnp.stack(bufs)
+
+    return step, (4 if xf_on else 0) + 2 * len(out_bands)
+
+
+def _b_state_get(static, st, out_bands):
+    rows = []
+    if static.crossfeed_on:
+        rows += [st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1]]
+    for (c, band, kind) in out_bands:
+        if kind != 1:
+            rows += [st.eq_c[c, band], st.eq_d[c, band]]
+        else:
+            rows += [st.eq_a[c, band], st.eq_b[c, band]]
+    return jnp.stack(rows)
+
+
+def _b_state_set(static, st, out_bands, vec):
+    i = 0
+    if static.crossfeed_on:
+        st = st._replace(xf_lp=jnp.stack([vec[0], vec[1]]),
+                         xf_ap=jnp.stack([vec[2], vec[3]]))
+        i = 4
+    for (c, band, kind) in out_bands:
+        if kind != 1:
+            st = st._replace(eq_c=st.eq_c.at[c, band].set(vec[i]),
+                             eq_d=st.eq_d.at[c, band].set(vec[i + 1]))
+        else:
+            st = st._replace(eq_a=st.eq_a.at[c, band].set(vec[i]),
+                             eq_b=st.eq_b.at[c, band].set(vec[i + 1]))
+        i += 2
+    return st
+
+
+def chain_b(static, p, st, bl, br, out_bands, Npkt):
+    """Crossfeed + matrix + per-output EQ as one per-packet MIMO matmul.
+
+    Returns (st', bufs) with bufs a list of nout [Ttot, B] arrays — the
+    same values PASS 3-5 of the scan path produce, to matmul rounding."""
+    T = static.block_size
+    B = bl.shape[-1]
+    nout = static.n_outputs
+    step, S = _make_b_step(static, p, out_bands)
+    Y, sF = _linearize(step, T, 2, S)                 # Y [T, nout, C]
+    Cc = 2 * T + S
+    M = jnp.concatenate(
+        [jnp.moveaxis(Y, 1, 0).reshape(nout * T, Cc), sF], axis=0)
+    xl = bl.reshape(Npkt, T, B)
+    xr = br.reshape(Npkt, T, B)
+    if S:
+        s0 = _b_state_get(static, st, out_bands)
+
+        def body(s, x_k):
+            w = jnp.matmul(
+                M, jnp.concatenate([x_k[0], x_k[1], s], axis=0),
+                precision=_HI)
+            return w[nout * T:], w[:nout * T]
+
+        sFin, y = lax.scan(body, s0, (xl, xr))
+        st = _b_state_set(static, st, out_bands, sFin)
+    else:                                             # stateless: pure matrix
+        y = jnp.einsum("oc,pcb->pob", M,
+                       jnp.concatenate([xl, xr], axis=1), precision=_HI)
+    bufs_all = jnp.moveaxis(y.reshape(Npkt, nout, T, B), 1, 0)
+    return st, [bufs_all[o].reshape(Npkt * T, B) for o in range(nout)]

@@ -85,6 +85,11 @@ class StaticChain:
     # boundaries become static indices, so leveller block semantics stay
     # bit-exact with zero masking.  Input is then [2, sum(schedule), B].
     schedule: tuple = ()
+    # Lower the float chain's LTI passes (loudness+EQ, crossfeed+matrix+
+    # out-EQ) to MXU block-state-space matmuls (chain/mxu.py).  Float path
+    # only, uniform schedules, homogeneous params; held to the <=1e-6 RMS
+    # firmware-fidelity budget instead of golden bit-exactness.
+    mxu: bool = False
 
     @property
     def is_float(self) -> bool:
@@ -144,7 +149,7 @@ class ChainState(NamedTuple):
 def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
                  emit: str = "full", pdm: bool = True,
                  unroll: int = 8, outer_unroll: int = 1,
-                 schedule=None) -> StaticChain:
+                 schedule=None, mxu: bool = False) -> StaticChain:
     cfg = d.config
     if schedule:
         block_size = max(schedule)
@@ -200,6 +205,7 @@ def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
         unroll=unroll,
         outer_unroll=outer_unroll,
         schedule=tuple(int(t) for t in schedule) if schedule else (),
+        mxu=bool(mxu and cfg.platform is Platform.RP2350 and not schedule),
     )
 
 

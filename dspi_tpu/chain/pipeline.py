@@ -330,7 +330,18 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
     br = x2[1].astype(jnp.float32) * p.unpack_gain[1]
 
     # ---- scan A: loudness + master EQ + leveller envelope ----
-    if static.loudness_on or master_bands or static.leveller_on:
+    # MXU lowering (chain/mxu.py): the LTI passes become per-packet block
+    # matmuls; the leveller envelope becomes a weighted block reduction.
+    if static.mxu and (static.loudness_on or master_bands
+                       or static.leveller_on):
+        from . import mxu as _mxu
+
+        if static.loudness_on or master_bands:
+            st, bl, br = _mxu.chain_a(static, p, st, bl, br, master_bands,
+                                      Npkt)
+        if static.leveller_on:
+            env_l, env_r = _mxu.env_packet_ends(static, p, st, bl, br, Npkt)
+    elif static.loudness_on or master_bands or static.leveller_on:
         # the env denormal flush (leveller.c:154-156) fires once per packet,
         # on the boundary sample (static schedule -> static flag vector)
         flag_np = np.zeros(Ttot, bool)
@@ -386,6 +397,9 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
             scan_a, (loud0, eqs0, env0), xs, unroll=unroll)
         if static.leveller_on:
             bl, br, env_seq_l, env_seq_r = ys
+            # per-packet boundary envelopes (denormal-flushed in scan A)
+            env_l = env_seq_l[ends]                     # [Npkt, B]
+            env_r = env_seq_r[ends]
         else:
             bl, br = ys
 
@@ -398,9 +412,6 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
 
     # ---- PASS 2.5 leveller block phase (leveller.c:147-262) ----
     if static.leveller_on:
-        # per-packet boundary envelopes (already denormal-flushed in scan A)
-        env_l = env_seq_l[ends]                         # [Npkt, B]
-        env_r = env_seq_r[ends]
         st = st._replace(lev_env=jnp.stack([env_l[-1], env_r[-1]]))
 
         a_att, a_rel = p.lev[1], p.lev[2]
@@ -503,56 +514,63 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
     peak_ml = jnp.max(jnp.abs(bl), axis=0)               # [B]
     peak_mr = jnp.max(jnp.abs(br), axis=0)
 
-    if static.crossfeed_on:
-        lp_a0, lp_b1, ap_a = p.xf[0], p.xf[1], p.xf[2]
+    if static.mxu and (static.crossfeed_on or out_bands):
+        # PASS 3-5 (crossfeed + matrix + per-output EQ) as one MIMO block
+        # matmul per packet (chain/mxu.py)
+        from . import mxu as _mxu
 
-        def xf_body(cxf, xt):
-            lpL, lpR, apL, apR = cxf
-            ml, mr = xt
-            lp_l = lp_a0 * ml + lp_b1 * lpL
-            lp_r = lp_a0 * mr + lp_b1 * lpR
-            ap_l = ap_a * lp_l + apL
-            apL_n = lp_l - ap_a * ap_l
-            ap_r = ap_a * lp_r + apR
-            apR_n = lp_r - ap_a * ap_r
-            return ((lp_l, lp_r, apL_n, apR_n),
-                    ((ml - lp_l) + ap_r, (mr - lp_r) + ap_l))
+        st, bufs = _mxu.chain_b(static, p, st, bl, br, out_bands, Npkt)
+    else:
+        if static.crossfeed_on:
+            lp_a0, lp_b1, ap_a = p.xf[0], p.xf[1], p.xf[2]
 
-        xf0 = (st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1])
-        (lpL, lpR, apL, apR), (bl, br) = lax.scan(
-            xf_body, xf0, (bl, br), unroll=unroll)
-        st = st._replace(xf_lp=jnp.stack([lpL, lpR]),
-                         xf_ap=jnp.stack([apL, apR]))
+            def xf_body(cxf, xt):
+                lpL, lpR, apL, apR = cxf
+                ml, mr = xt
+                lp_l = lp_a0 * ml + lp_b1 * lpL
+                lp_r = lp_a0 * mr + lp_b1 * lpR
+                ap_l = ap_a * lp_l + apL
+                apL_n = lp_l - ap_a * ap_l
+                ap_r = ap_a * lp_r + apR
+                apR_n = lp_r - ap_a * ap_r
+                return ((lp_l, lp_r, apL_n, apR_n),
+                        ((ml - lp_l) + ap_r, (mr - lp_r) + ap_l))
 
-    # ---- PASS 4: matrix mix (usb_audio.c:751-779) ----
-    bufs = []
-    for o in range(nout):
-        if not static.output_enabled[o]:
-            bufs.append(jnp.zeros_like(bl))
-            continue
-        gl, gr = p.matrix_gain[0, o], p.matrix_gain[1, o]
-        both = bl * gl + br * gr
-        dst = jnp.where(
-            (gl != 0.0) & (gr != 0.0), both,
-            jnp.where(gl != 0.0, bl * gl,
-                      jnp.where(gr != 0.0, br * gr, 0.0)))
-        bufs.append(dst)
+            xf0 = (st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1])
+            (lpL, lpR, apL, apR), (bl, br) = lax.scan(
+                xf_body, xf0, (bl, br), unroll=unroll)
+            st = st._replace(xf_lp=jnp.stack([lpL, lpR]),
+                             xf_ap=jnp.stack([apL, apR]))
 
-    # ---- PASS 5: per-output EQ ----
-    if out_bands:
-        def scan_b(eqs, xt):
-            eqs_n = list(eqs)
-            outs = list(xt)
-            for i, (ch, band, kind) in enumerate(out_bands):
-                o = ch - C.CH_OUT_1
-                outs[o], eqs_n[i] = _band_step_f32(
-                    kind, p.eq_f32[ch, band], eqs[i], outs[o])
-            return tuple(eqs_n), tuple(outs)
+        # ---- PASS 4: matrix mix (usb_audio.c:751-779) ----
+        bufs = []
+        for o in range(nout):
+            if not static.output_enabled[o]:
+                bufs.append(jnp.zeros_like(bl))
+                continue
+            gl, gr = p.matrix_gain[0, o], p.matrix_gain[1, o]
+            both = bl * gl + br * gr
+            dst = jnp.where(
+                (gl != 0.0) & (gr != 0.0), both,
+                jnp.where(gl != 0.0, bl * gl,
+                          jnp.where(gr != 0.0, br * gr, 0.0)))
+            bufs.append(dst)
 
-        eqs0b = _gather_states(static, st, out_bands)
-        eqsFb, outs = lax.scan(scan_b, eqs0b, tuple(bufs), unroll=unroll)
-        st = _scatter_states(static, st, out_bands, eqsFb)
-        bufs = list(outs)
+        # ---- PASS 5: per-output EQ ----
+        if out_bands:
+            def scan_b(eqs, xt):
+                eqs_n = list(eqs)
+                outs = list(xt)
+                for i, (ch, band, kind) in enumerate(out_bands):
+                    o = ch - C.CH_OUT_1
+                    outs[o], eqs_n[i] = _band_step_f32(
+                        kind, p.eq_f32[ch, band], eqs[i], outs[o])
+                return tuple(eqs_n), tuple(outs)
+
+            eqs0b = _gather_states(static, st, out_bands)
+            eqsFb, outs = lax.scan(scan_b, eqs0b, tuple(bufs), unroll=unroll)
+            st = _scatter_states(static, st, out_bands, eqsFb)
+            bufs = list(outs)
 
     # output gains (usb_audio.c:885-894); gain varies per packet through
     # the preset-mute envelope

@@ -1,0 +1,94 @@
+"""MXU block-state-space float path (chain/mxu.py) vs golden / scan path.
+
+The MXU lowering re-rounds the LTI passes (matmul superposition), so it is
+held to the BASELINE fidelity budget — <=1e-6 relative RMS against the
+firmware-semantics golden model — rather than bit-exactness.  Measured on
+the real v5e MXU (Precision.HIGHEST): ~3-4e-7 across segments.
+"""
+
+import numpy as np
+import pytest
+
+from dspi_tpu import DeviceConfig, EqBand, FilterType, Platform
+from dspi_tpu.chain import Engine
+from dspi_tpu.golden.model import GoldenDevice
+
+from util import golden_run, make_input, rich_config
+
+BLOCK = 48
+NPKT = 16
+
+
+def _rel_rms(got, want):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    return (np.sqrt(np.mean((got - want) ** 2))
+            / (np.sqrt(np.mean(want ** 2)) + 1e-30))
+
+
+def test_mxu_vs_golden_full_chain(rng):
+    cfg = rich_config(Platform.RP2350)
+    eng = Engine(cfg, n_streams=2, block_size=BLOCK, pdm=False, mxu=True,
+                 unroll=4)
+    assert eng.static.mxu
+    x = make_input(rng, NPKT, BLOCK, 2)
+    out = eng.process(x)
+
+    goldens = []
+    for s in range(2):
+        g = GoldenDevice(cfg.copy())
+        goldens.append(golden_run(g, x[..., s:s + 1]))
+    want = np.stack([np.stack([np.asarray(p["buf_out"]) for p in gs])
+                     for gs in goldens], axis=-1)
+    got = np.asarray(out["out"])
+    assert np.sqrt(np.mean(want.astype(np.float64) ** 2)) > 1e-4
+    assert _rel_rms(got, want) < 1e-6
+
+
+@pytest.mark.parametrize("variant", ["crossfeed_only", "loudness_only",
+                                     "leveller_only", "eq_only"])
+def test_mxu_vs_scan_variants(rng, variant):
+    kw = dict(leveller=False, crossfeed=False, loudness=False, pdm=False)
+    if variant == "crossfeed_only":
+        kw["crossfeed"] = True
+    elif variant == "loudness_only":
+        kw["loudness"] = True
+    elif variant == "leveller_only":
+        kw["leveller"] = True
+    cfg = rich_config(Platform.RP2350, **kw)
+    if variant == "eq_only":
+        for ch in (0, 1):
+            for b in range(10):
+                cfg.eq[ch][b] = EqBand(FilterType.PEAKING, 80.0 * (b + 1),
+                                       1.4, 2.0 if b % 2 else -2.0)
+    x = make_input(rng, NPKT, BLOCK, 4)
+    outs = {}
+    for mxu in (False, True):
+        eng = Engine(cfg, n_streams=4, block_size=BLOCK, pdm=False, mxu=mxu,
+                     unroll=4)
+        # two segments: the second exercises carried state through the
+        # matmul form (EQ memories, crossfeed poles, leveller envelope)
+        eng.process(x)
+        outs[mxu] = np.asarray(eng.process(x)["out"])
+    assert _rel_rms(outs[True], outs[False]) < 1e-6
+
+
+def test_mxu_q28_and_schedule_fall_back():
+    cfg = DeviceConfig(platform=Platform.RP2040)
+    eng = Engine(cfg, n_streams=2, mxu=True)
+    assert not eng.static.mxu                 # Q28 stays bit-exact scans
+    cfg2 = rich_config(Platform.RP2350)
+    eng2 = Engine(cfg2, n_streams=2, schedule=(44, 45, 44), mxu=True)
+    assert not eng2.static.mxu                # variable packets -> scan path
+
+
+def test_mxu_survives_update_config(rng):
+    cfg = rich_config(Platform.RP2350)
+    eng = Engine(cfg, n_streams=2, block_size=BLOCK, pdm=False, mxu=True)
+    x = make_input(rng, 4, BLOCK, 2)
+    eng.process(x)
+    cfg2 = cfg.copy()
+    cfg2.eq[0][5] = EqBand(FilterType.PEAKING, 5000.0, 2.0, 3.0)
+    eng.update_config(cfg2)
+    assert eng.static.mxu                     # flag preserved across rebuild
+    eng.process(x)
