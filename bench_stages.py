@@ -56,14 +56,21 @@ def timeit(fn, *args):
     return best
 
 
-def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None):
-    """PDM modulator alone: [T, B] Q28 -> words, reduced output."""
+def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None, chain_k=8):
+    """PDM modulator alone: [T, B] Q28 -> words, reduced output.
+
+    ``chain_k`` segment iterations run chained on-device inside one jit
+    (state threads through; word sums xor-fold into one scalar), so one
+    readback forces all of them — kernel walls would otherwise sit on the
+    ~27 ms tunnel-readback floor and report falsely-low RTF."""
+    from jax import lax
+
     from dspi_tpu.chain.pack import ChainState
     from dspi_tpu.kernels.pdm import pdm_segment
 
     unroll = unroll if unroll is not None else int(
         os.environ.get("DSPI_PDM_UNROLL", 1))
-    impl = impl or os.environ.get("DSPI_PDM_IMPL", "unrolled")
+    impl = impl or os.environ.get("DSPI_PDM_IMPL", "auto")
 
     rng = np.random.default_rng(3)
     x = jax.device_put(
@@ -78,12 +85,16 @@ def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None):
 
     @jax.jit
     def run(state, x):
-        s, words = pdm_segment(state, x, unroll=unroll, impl=impl)
-        return (jnp.sum(words, dtype=jnp.uint32) ^ s.pdm_rng[0]
+        def body(_, carry):
+            s, acc = carry
+            s, words = pdm_segment(s, x, unroll=unroll, impl=impl)
+            return s, acc ^ jnp.sum(words, dtype=jnp.uint32)
+        s, acc = lax.fori_loop(0, chain_k, body, (state, jnp.uint32(0)))
+        return (acc ^ s.pdm_rng[0]
                 ^ s.pdm_err[0].astype(jnp.uint32)).astype(jnp.float32)
 
     best = timeit(run, state, x)
-    rtf = b * t / RATE / best
+    rtf = chain_k * b * t / RATE / best
     return rtf, best
 
 

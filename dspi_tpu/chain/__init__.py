@@ -125,8 +125,7 @@ class Engine:
             lev_env=_zeros_like(st.lev_env),
             lev_gain_db=np.zeros(B, np.float32),
             lev_gain=one.copy(), lev_gain_prev=one.copy(),
-            lev_la=None if st.lev_la is None else _zeros_like(st.lev_la),
-            lev_la_idx=np.int32(0))
+            lev_la=None if st.lev_la is None else _zeros_like(st.lev_la))
 
     def _migrate_state(self, st: ChainState, old, new) -> ChainState:
         """Carry state across a structural recompile; geometry-dependent

@@ -132,12 +132,11 @@ class ChainState(NamedTuple):
     lev_gain_db: Any          # [B] smoothed gain dB (f32 both paths)
     lev_gain: Any             # [B] linear gain (f32) | Q28 (i32)
     lev_gain_prev: Any        # [B]
-    lev_la: Any               # [2, 480, B] lookahead ring
-    lev_la_idx: Any           # scalar i32
+    lev_la: Any               # [2, 480, B] lookahead ring (time-ordered,
+    #                           oldest first — enables static-slice shifts)
     xf_lp: Any                # [2, B]
     xf_ap: Any                # [2, B]
-    delay: Any                # [n_delayed, D, B]
-    delay_idx: Any            # scalar i32
+    delay: Any                # [n_delayed, D, B] (time-ordered)
     pdm_err: Any              # [B] i32
     pdm_err2: Any             # [B] i32
     pdm_ns: Any               # [5, B] i32: x1, x2, y1, y2, err_acc
@@ -366,11 +365,9 @@ def init_state(static: StaticChain, n_streams: int,
         lev_gain_prev=(np.ones(B, np.float32) if is_float
                        else np.full(B, C.Q28_ONE, np.int32)),
         lev_la=zf(2, C.LEVELLER_LOOKAHEAD_SAMPLES, B) if static.leveller_on else None,
-        lev_la_idx=np.int32(0),
         xf_lp=zf(2, B), xf_ap=zf(2, B),
         delay=zf(len(static.delayed_outputs), static.delay_ring, B)
         if static.delay_ring else None,
-        delay_idx=np.int32(0),
         pdm_err=zi(B), pdm_err2=zi(B),
         pdm_ns=zi(5, B),
         pdm_rng=rng,

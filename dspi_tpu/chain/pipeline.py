@@ -189,31 +189,25 @@ def _scatter_states(static, state: ChainState, bands, finals) -> ChainState:
     return state._replace(eq_a=eq_a, eq_b=eq_b, eq_c=eq_c, eq_d=eq_d)
 
 
-def _delay_read(ring_k, buf, delay_idx, dly, T, D):
-    """One output's delayed read over a whole segment (usb_audio.c:897-911):
-    samples older than the segment come from the ring, newer ones straight
-    from the in-segment buffer.  Supports a shared scalar delay or
-    per-stream [B] delays.  The ring WRITE is done by the caller with a row
-    scatter (write indices never depend on the delay)."""
-    tvec = jnp.arange(T, dtype=jnp.int32)
+def _delay_apply(ring_k, buf, dly, T, D):
+    """One output's delayed read over a whole segment (usb_audio.c:897-911).
+
+    Rings are stored TIME-ORDERED (oldest first, newest last) rather than
+    circular: the delayed stream is then just a window into
+    concat(ring, buf), so a scalar delay is one dynamic_slice (a bulk copy
+    — far cheaper on TPU than the modular gathers a circular ring needs)
+    and the ring update is a static tail slice.  Per-stream [B] delays use
+    one take_along_axis over the same combined buffer.
+
+    Returns (delayed [T, B], ring' [D, B])."""
+    comb = jnp.concatenate([ring_k, buf], axis=0)        # [D+T, B]
     if jnp.ndim(dly) == 0:
-        ring_read = ring_k[(delay_idx + tvec - dly) % D]
-        in_block = jnp.take(buf, jnp.clip(tvec - dly, 0, T - 1), axis=0)
-        return jnp.where((tvec >= dly)[:, None], in_block, ring_read)
-    idx_r = (delay_idx + tvec[:, None] - dly[None, :]) % D
-    ring_read = jnp.take_along_axis(ring_k, idx_r, axis=0)
-    idx_b = jnp.clip(tvec[:, None] - dly[None, :], 0, T - 1)
-    in_block = jnp.take_along_axis(buf, idx_b, axis=0)
-    return jnp.where(tvec[:, None] >= dly[None, :], in_block, ring_read)
-
-
-def _ring_write(ring_k, buf, delay_idx, Ttot, D):
-    """Scatter the last min(D, Ttot) segment samples into the ring.  The
-    write positions are distinct by construction, so the scatter order is
-    deterministic."""
-    n = min(D, Ttot)
-    pos = (delay_idx + jnp.arange(Ttot - n, Ttot, dtype=jnp.int32)) % D
-    return ring_k.at[pos].set(buf[Ttot - n:])
+        delayed = lax.dynamic_slice_in_dim(comb, D - dly, T, axis=0)
+    else:
+        tvec = jnp.arange(T, dtype=jnp.int32)
+        idx = (D - dly)[None, :] + tvec[:, None]
+        delayed = jnp.take_along_axis(comb, idx, axis=0)
+    return delayed, comb[T:]
 
 
 def _flatten_time(x):
@@ -484,21 +478,14 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
                 gains = jnp.swapaxes(gains_t, 0, 1).reshape(Ttot, -1)
 
         if static.leveller_lookahead:
-            la = C.LEVELLER_LOOKAHEAD_SAMPLES
-            tvec = jnp.arange(Ttot, dtype=jnp.int32)
-            rpos = (st.lev_la_idx + tvec) % la
-            late = (tvec >= la)[:, None]
-            sel = jnp.clip(tvec - la, 0, Ttot - 1)
-            out_l = jnp.where(late, jnp.take(bl, sel, axis=0),
-                              st.lev_la[0, rpos])
-            out_r = jnp.where(late, jnp.take(br, sel, axis=0),
-                              st.lev_la[1, rpos])
-            lev_la = jnp.stack([_ring_write(st.lev_la[0], bl, st.lev_la_idx,
-                                            Ttot, la),
-                                _ring_write(st.lev_la[1], br, st.lev_la_idx,
-                                            Ttot, la)])
-            st = st._replace(lev_la=lev_la,
-                             lev_la_idx=(st.lev_la_idx + Ttot) % la)
+            # time-ordered lookahead ring: the 480-sample delayed stream is
+            # a static window of concat(ring, segment) — no gathers
+            comb_l = jnp.concatenate([st.lev_la[0], bl], axis=0)
+            comb_r = jnp.concatenate([st.lev_la[1], br], axis=0)
+            out_l = comb_l[:Ttot]
+            out_r = comb_r[:Ttot]
+            st = st._replace(
+                lev_la=jnp.stack([comb_l[Ttot:], comb_r[Ttot:]]))
         else:
             out_l, out_r = bl, br
 
@@ -587,14 +574,12 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
     # delay lines (usb_audio.c:897-911)
     if static.delayed_outputs:
         D = static.delay_ring
-        ring = st.delay
+        rows = []
         for k, o in enumerate(static.delayed_outputs):
-            delayed = _delay_read(ring[k], bufs[o], st.delay_idx,
-                                  p.delay_samples[k], Ttot, D)
-            ring = ring.at[k].set(
-                _ring_write(ring[k], bufs[o], st.delay_idx, Ttot, D))
-            bufs[o] = delayed
-        st = st._replace(delay=ring, delay_idx=(st.delay_idx + Ttot) % D)
+            bufs[o], ring_k = _delay_apply(st.delay[k], bufs[o],
+                                           p.delay_samples[k], Ttot, D)
+            rows.append(ring_k)
+        st = st._replace(delay=jnp.stack(rows))
 
     # peaks / clip flags (sticky over the segment == sticky per packet)
     peaks = [peak_ml, peak_mr]
@@ -623,13 +608,12 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
                 s24.append(_f32_to_i32(dl * jnp.float32(8388607.0)))
             else:
                 s24.append(jnp.zeros(bufs[chn].shape, jnp.int32))
-    s24 = jnp.stack(s24)                                 # [ns2, Ttot, B]
-
     outputs = {}
     # peak u16 conversion (usb_audio.c:841,921): trunc(min(1,peak)*32767)
     outputs["peaks"] = jnp.trunc(
         jnp.minimum(1.0, peaks) * 32767.0).astype(jnp.int32)
     if static.emit == "full":
+        s24 = jnp.stack(s24)                             # [ns2, Ttot, B]
         if static.schedule:
             outputs["out"] = jnp.stack(bufs)             # [nout, Ttot, B]
             outputs["s24"] = s24                         # [ns2, Ttot, B]
@@ -638,7 +622,10 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
                                         static.block_size)
             outputs["s24"] = _unflatten(s24, Npkt, static.block_size)
     else:
-        outputs["s24_sum"] = jnp.sum(s24, axis=1)
+        # per-output sums fuse into the conversion — no [ns2, Ttot, B]
+        # stack materializes in reduced mode
+        outputs["s24_sum"] = jnp.stack(
+            [jnp.sum(v, axis=0) for v in s24])
 
     if static.pdm_on:
         sub_q28 = _f32_to_i32(bufs[nout - 1] * jnp.float32(1 << 28))
@@ -812,21 +799,14 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                 gains = gains_full.reshape(Ttot, -1)
 
         if static.leveller_lookahead:
-            la = C.LEVELLER_LOOKAHEAD_SAMPLES
-            tvec = jnp.arange(Ttot, dtype=jnp.int32)
-            rpos = (st.lev_la_idx + tvec) % la
-            late = (tvec >= la)[:, None]
-            sel = jnp.clip(tvec - la, 0, Ttot - 1)
-            out_l = jnp.where(late, jnp.take(bl, sel, axis=0),
-                              st.lev_la[0, rpos])
-            out_r = jnp.where(late, jnp.take(br, sel, axis=0),
-                              st.lev_la[1, rpos])
-            lev_la = jnp.stack([_ring_write(st.lev_la[0], bl, st.lev_la_idx,
-                                            Ttot, la),
-                                _ring_write(st.lev_la[1], br, st.lev_la_idx,
-                                            Ttot, la)])
-            st = st._replace(lev_la=lev_la,
-                             lev_la_idx=(st.lev_la_idx + Ttot) % la)
+            # time-ordered lookahead ring: the 480-sample delayed stream is
+            # a static window of concat(ring, segment) — no gathers
+            comb_l = jnp.concatenate([st.lev_la[0], bl], axis=0)
+            comb_r = jnp.concatenate([st.lev_la[1], br], axis=0)
+            out_l = comb_l[:Ttot]
+            out_r = comb_r[:Ttot]
+            st = st._replace(
+                lev_la=jnp.stack([comb_l[Ttot:], comb_r[Ttot:]]))
         else:
             out_l, out_r = bl, br
 
@@ -915,14 +895,12 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
     # delay lines
     if static.delayed_outputs:
         D = static.delay_ring
-        ring = st.delay
+        rows = []
         for k, o in enumerate(static.delayed_outputs):
-            delayed = _delay_read(ring[k], bufs[o], st.delay_idx,
-                                  p.delay_samples[k], Ttot, D)
-            ring = ring.at[k].set(
-                _ring_write(ring[k], bufs[o], st.delay_idx, Ttot, D))
-            bufs[o] = delayed
-        st = st._replace(delay=ring, delay_idx=(st.delay_idx + Ttot) % D)
+            bufs[o], ring_k = _delay_apply(st.delay[k], bufs[o],
+                                           p.delay_samples[k], Ttot, D)
+            rows.append(ring_k)
+        st = st._replace(delay=jnp.stack(rows))
 
     # peaks / clips (Q28: u16 = peak >> 13, usb_audio.c:1239)
     peaks = [peak_ml, peak_mr]
@@ -950,11 +928,10 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                 s24.append(q28_to_s24(bufs[chn]))
             else:
                 s24.append(jnp.zeros(bufs[chn].shape, jnp.int32))
-    s24 = jnp.stack(s24)                                 # [ns2, Ttot, B]
-
     outputs = {}
     outputs["peaks"] = (peaks >> 13) & 0xFFFF
     if static.emit == "full":
+        s24 = jnp.stack(s24)                             # [ns2, Ttot, B]
         if static.schedule:
             outputs["out"] = jnp.stack(bufs)
             outputs["s24"] = s24
@@ -963,7 +940,8 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                                         static.block_size)
             outputs["s24"] = _unflatten(s24, Npkt, static.block_size)
     else:
-        outputs["s24_sum"] = jnp.sum(s24, axis=1)
+        outputs["s24_sum"] = jnp.stack(
+            [jnp.sum(v, axis=0) for v in s24])
 
     if static.pdm_on:
         st, words = pdm_segment(st, bufs[nout - 1])

@@ -34,12 +34,35 @@ _SRA = lax.shift_right_arithmetic
 
 
 def _modulate_sample(x_t, err, err2, x1, x2, y1, y2, acc, rng, fade):
-    """One PCM sample -> 8 words.  Exact firmware arithmetic on int32."""
+    """One PCM sample -> 8 words.  Exact firmware arithmetic on int32.
+
+    The bit loop is an 8-op/bit rewrite of pdm_generator.c:367-380 (the
+    naive transcription is 11 ops/bit).  With m = (err2+dither) >> 31
+    (arithmetic; -1 when the bit is 0) and the substitutions
+    f = m & 65535 (= 65535 - fb),  errm = err - 65535,  t65 = target-65535,
+    u = word + 1, the reference update
+
+        bit  = (err2 + dither) >= 0;  fb = bit ? 65535 : 0
+        word = (word << 1) | bit
+        err += target - fb;  err2 += err - fb
+
+    becomes (e2d = err2 + dither carried through the chunk, int32 ops wrap
+    mod 2^32 exactly like the firmware's):
+
+        m = e2d >> 31;  f = m & 65535
+        errm += t65 + f;  e2d += errm + f;  u = u + u + m
+
+    with word = u - 1 and err2 = e2d - dither recovered at chunk end.
+    Bit-exactness vs the scan lowering is asserted by tests/test_pdm_impls.
+    """
     pcm = jnp.clip(_SRA(x_t, 14), -C.PDM_CLIP_THRESH, C.PDM_CLIP_THRESH)
     fading = fade < C.PDM_FADE_IN_SAMPLES
     pcm = jnp.where(fading, _SRA(pcm * fade, C.PDM_FADE_IN_SHIFT), pcm)
     fade = jnp.where(fading, fade + 1, fade)
     target = pcm + 32768
+    c65 = jnp.int32(65535)
+    t65 = target - c65
+    errm = err - c65
 
     words = []
     for _c in range(C.PDM_CHUNKS):
@@ -60,17 +83,18 @@ def _modulate_sample(x_t, err, err2, x1, x2, y1, y2, acc, rng, fade):
         y2 = y1
         y1 = dither
 
-        word = jnp.zeros_like(err)
+        e2d = err2 + dither
+        u = jnp.ones_like(err)
         for _k in range(32):
-            u = err2 + dither
-            m = _SRA(u, 31)                  # 0 if u>=0 else -1
-            bit = m + 1                      # 1 if u>=0 else 0
-            fb = jnp.int32(65535) & ~m       # 65535 if u>=0 else 0
-            word = word + word + bit
-            err = err + (target - fb)
-            err2 = err2 + (err - fb)
-        words.append(word)
+            m = _SRA(e2d, 31)                # 0 if bit==1 else -1
+            f = m & c65                      # 65535 - fb
+            errm = errm + (t65 + f)
+            e2d = e2d + (errm + f)
+            u = u + u + m
+        words.append(u - 1)
+        err2 = e2d - dither
 
+    err = errm + c65
     err = err - _SRA(err, C.PDM_LEAKAGE_SHIFT)
     err2 = err2 - _SRA(err2, C.PDM_LEAKAGE_SHIFT)
     return words, (err, err2, x1, x2, y1, y2, acc, rng, fade)
