@@ -66,23 +66,28 @@ def full_chain_config(platform, sample_rate=48000.0, pdm=True):
 
 def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
                  block=None, depth=None):
-    """Pipelined-throughput measurement.
+    """Chained-throughput measurement.
 
     Honesty rules (tunneled backends lie in two ways):
-      * never trust bare block_until_ready — every segment's execution is
-        forced by READING a device-computed scalar VALUE that depends on
-        all of its outputs (a fabricated ack cannot produce the value);
-      * the tunnel costs ~30 ms per device->host RPC and ~90 ms per
-        synchronous dispatch+readback cycle, which is serving-irrelevant
-        (real serving pipelines segments); so segments are enqueued
-        back-to-back — chained on device through the donated state — and
-        all per-segment scalars are read at the end, inside the timed
-        window.  RTF = depth * audio_sec / wall.
+      * never trust bare block_until_ready — execution is forced by
+        READING a device-computed scalar VALUE that depends on every
+        segment's outputs (a fabricated ack cannot produce the value);
+      * the tunnel costs ~27 ms PER device->host readback and readbacks
+        serialize on the host, so any per-call wall sits on that floor no
+        matter how deep the dispatch pipeline is.  Serving-irrelevant
+        (real serving chains segments on device); so ``depth`` segments
+        run chained inside ONE jit — state threads through, each
+        segment's reduced outputs accumulate into one scalar — and a
+        single readback forces all of them.  RTF = depth*audio_sec/wall.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from dspi_tpu.chain import Engine
+    from dspi_tpu.chain.pipeline import _process_float, _process_q28
 
     depth = depth or int(os.environ.get("DSPI_BENCH_DEPTH", 8))
     block = block or (96 if cfg.sample_rate == 96000 else 48)
@@ -92,28 +97,44 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
     x = rng.integers(-16000, 16000,
                      size=(n_packets, 2, block, n_streams)).astype(np.int32)
     x = jax.device_put(x)
+    pm = jnp.ones((n_packets,), jnp.float32)
+    raw = functools.partial(
+        _process_float if eng.static.is_float else _process_q28, eng.static)
 
-    reduce_out = jax.jit(lambda out: sum(
-        jnp.sum(leaf).astype(jnp.float32) for leaf in jax.tree.leaves(out)))
+    @jax.jit
+    def run(params, state, x):
+        def body(_, carry):
+            st, acc = carry
+            st, out = raw(params, st, x, pm)
+            return st, acc + sum(jnp.sum(leaf).astype(jnp.float32)
+                                 for leaf in jax.tree.leaves(out))
+        _, acc = lax.fori_loop(0, depth, body, (state, jnp.float32(0)))
+        return acc
 
-    def segment():
-        return reduce_out(eng.process(x))
+    dev_params = jax.tree.map(
+        lambda v: None if v is None else jax.device_put(v), eng.params)
+    dev_state = jax.tree.map(
+        lambda v: None if v is None else jax.device_put(v), eng.state)
 
-    float(np.asarray(segment()))          # compile + warm
-    float(np.asarray(segment()))
+    def chained():
+        return float(np.asarray(run(dev_params, dev_state, x)))
 
+    v = chained()                          # compile + warm
+    assert v == v                          # NaN gate
     audio_sec = n_streams * n_packets * block / cfg.sample_rate
     best = float("inf")
     for _ in range(max(iters, 2)):
         t0 = time.perf_counter()
-        scalars = [segment() for _ in range(depth)]
-        vals = [float(np.asarray(s)) for s in scalars]
-        assert all(v == v for v in vals)  # read every value (force + NaN gate)
+        assert chained() == v
         best = min(best, (time.perf_counter() - t0) / depth)
 
-    # single-segment latency, fully synchronous (secondary metric)
+    # single-segment latency, fully synchronous (secondary metric; includes
+    # one ~27 ms tunnel readback)
+    reduce_out = jax.jit(lambda out: sum(
+        jnp.sum(leaf).astype(jnp.float32) for leaf in jax.tree.leaves(out)))
+    float(np.asarray(reduce_out(eng.process(x))))     # compile + warm
     t0 = time.perf_counter()
-    float(np.asarray(segment()))
+    float(np.asarray(reduce_out(eng.process(x))))
     latency = time.perf_counter() - t0
 
     return audio_sec / best, latency
