@@ -11,8 +11,8 @@ at RTF 1.0 by construction; the target is >= 10,000x on one TPU v5e chip.
 Prints ONE JSON line.  Extra per-config results land in BENCH_DETAILS.json
 when DSPI_BENCH_FULL=1.
 
-Env knobs: DSPI_BENCH_STREAMS (default 8192), DSPI_BENCH_PACKETS (32),
-DSPI_BENCH_ITERS (8), DSPI_BENCH_UNROLL (8), DSPI_BENCH_PLATFORM (rp2350).
+Env knobs: DSPI_BENCH_STREAMS (default 16384), DSPI_BENCH_PACKETS (128),
+DSPI_BENCH_ITERS (8), DSPI_BENCH_UNROLL (48), DSPI_BENCH_PLATFORM (rp2350).
 """
 
 from __future__ import annotations
@@ -150,8 +150,8 @@ def main():
 
     platform = {"rp2350": Platform.RP2350, "rp2040": Platform.RP2040}[
         os.environ.get("DSPI_BENCH_PLATFORM", "rp2350")]
-    B = int(os.environ.get("DSPI_BENCH_STREAMS", 8192))
-    NPKT = int(os.environ.get("DSPI_BENCH_PACKETS", 64))
+    B = int(os.environ.get("DSPI_BENCH_STREAMS", 16384))
+    NPKT = int(os.environ.get("DSPI_BENCH_PACKETS", 128))
     ITERS = int(os.environ.get("DSPI_BENCH_ITERS", 8))
     UNROLL = int(os.environ.get("DSPI_BENCH_UNROLL", 48))
 
@@ -182,8 +182,10 @@ def main():
             "rtf": rtf2,
             "peq_bands_per_sec": rtf2 * 2 * 10 * 48000}
 
+        # block=96 doubles the segment length; halve the packet count to
+        # keep the on-chip footprint equal to the 48 kHz configs
         c5 = full_chain_config(platform, sample_rate=96000.0)
-        rtf5, _ = bench_engine(c5, B, NPKT, ITERS, UNROLL)
+        rtf5, _ = bench_engine(c5, B, max(NPKT // 2, 1), ITERS, UNROLL)
         details["cfg5_full_96k"] = {"rtf": rtf5}
 
         cq = full_chain_config(Platform.RP2040)
