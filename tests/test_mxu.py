@@ -92,3 +92,29 @@ def test_mxu_survives_update_config(rng):
     eng.update_config(cfg2)
     assert eng.static.mxu                     # flag preserved across rebuild
     eng.process(x)
+
+
+def test_mxu_adversarial_high_q_bound(rng):
+    """Worst-case superposition error: stacked Q=20 cascades at +/-12 dB.
+
+    A 48-term f32 dot re-rounds what the firmware computes sequentially;
+    for pathological all-high-Q cascades the relative RMS approaches the
+    f32 reassociation floor (~sqrt(T)*2^-24 per band, compounding across
+    bands).  Measured worst case ~1.6e-6 — documented bound 4e-6 here; the
+    five BASELINE configs measure 3-4e-7 (within the 1e-6 contract), and
+    Engine(mxu=False) keeps the bit-exact scan path for anything beyond.
+    """
+    cfg = DeviceConfig(platform=Platform.RP2350)
+    for ch in range(cfg.num_channels):
+        for b in range(10):
+            cfg.eq[ch][b] = EqBand(FilterType.PEAKING, 10.0 + 3.0 * b, 20.0,
+                                   12.0 if b % 2 else -12.0)
+    cfg.loudness.enabled = True
+    x = make_input(rng, 16, BLOCK, 2)
+    outs = {}
+    for mxu in (False, True):
+        eng = Engine(cfg, n_streams=2, block_size=BLOCK, pdm=False, mxu=mxu,
+                     unroll=4)
+        eng.process(x)
+        outs[mxu] = np.asarray(eng.process(x)["out"])
+    assert _rel_rms(outs[True], outs[False]) < 4e-6
