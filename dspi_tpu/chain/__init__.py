@@ -36,9 +36,10 @@ class Engine:
 
         ``mxu``: lower the float chain's LTI passes to MXU block matmuls
         (chain/mxu.py; <=1e-6 RMS firmware budget instead of golden
-        bit-exactness).  'auto' enables it on the TPU backend; the scan
-        path — bit-identical to the golden model — is the default
-        elsewhere and for Q28/scheduled chains."""
+        bit-exactness).  Supports uniform and variable (44.1 kHz 44/45)
+        schedules.  'auto' enables it on the TPU backend; the scan path —
+        bit-identical to the golden model — is the default elsewhere and
+        always for Q28 chains."""
         if mxu == "auto":
             import jax
 

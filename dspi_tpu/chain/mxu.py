@@ -29,8 +29,14 @@ Throughput: the sequential scans run ~1,100 dependent VPU ops per sample;
 as block matmuls the same math rides the MXU at >100k x RT, leaving the
 VPU free for the delta-sigma PDM kernel.
 
-Restrictions: uniform packet schedules and homogeneous (non-per-stream)
-parameters; the caller falls back to the scan path otherwise.
+Variable-packet schedules (the 44.1 kHz 44/45 cadence) are supported: the
+schedule is static, so one matrix is built per distinct packet size,
+embedded into the max-size padded frame (padding rows/cols zero; padded
+input samples are masked to zero so they contribute nothing and the state
+does not advance through them), and gathered per packet into the scan.
+
+Restrictions: homogeneous (non-per-stream) parameters; callers needing
+per-stream coefficients use the scan path.
 """
 
 from __future__ import annotations
@@ -44,6 +50,76 @@ from ..core import constants as C
 
 _HI = lax.Precision.HIGHEST
 F = np.float32
+
+
+def _sched_layout(static, Npkt):
+    """Static packet geometry: per-packet sizes, padded-view gather indices
+    and the flat<->padded mappings (all numpy, compiled into the program)."""
+    if static.schedule:
+        sched = np.asarray(static.schedule, np.int64)
+    else:
+        sched = np.full(Npkt, static.block_size, np.int64)
+    Tmax = int(sched.max())
+    uniform = bool((sched == Tmax).all())
+    starts = np.concatenate([[0], np.cumsum(sched)[:-1]])
+    pad_idx = np.minimum(starts[:, None] + np.arange(Tmax)[None, :],
+                         int(sched.sum()) - 1)
+    pad_mask = (np.arange(Tmax)[None, :] < sched[:, None])
+    tt = np.concatenate([np.arange(t) for t in sched])
+    kk = np.repeat(np.arange(len(sched)), sched)
+    return sched, Tmax, uniform, pad_idx, pad_mask, tt, kk
+
+
+def _to_packets(x_flat, layout):
+    """[Ttot, B] -> [Npkt, Tmax, B]; padded samples forced to zero."""
+    sched, Tmax, uniform, pad_idx, pad_mask, _tt, _kk = layout
+    if uniform:
+        return x_flat.reshape(len(sched), Tmax, x_flat.shape[-1])
+    return x_flat[pad_idx] * pad_mask[:, :, None].astype(x_flat.dtype)
+
+
+def _to_flat(y_pkts, layout):
+    """[Npkt, Tmax, B] -> [Ttot, B], dropping padded rows."""
+    sched, Tmax, uniform, _pi, _pm, tt, kk = layout
+    if uniform:
+        n, t, b = y_pkts.shape
+        return y_pkts.reshape(n * t, b)
+    return y_pkts[kk, tt]
+
+
+def _embed(M_s, s, S, Tmax, n_io):
+    """Embed a size-s block matrix into the padded Tmax frame.
+
+    Row/col layout is [io0(T); io1(T); ...; states]; padded sample rows and
+    columns are zero, so masked (zero) padded inputs neither produce output
+    nor advance the state."""
+    if s == Tmax:
+        return M_s
+    R = n_io * Tmax + S
+    out = jnp.zeros((R, R), M_s.dtype)
+    for bi in range(n_io):
+        for bj in range(n_io):
+            out = out.at[bi * Tmax:bi * Tmax + s,
+                         bj * Tmax:bj * Tmax + s].set(
+                M_s[bi * s:(bi + 1) * s, bj * s:(bj + 1) * s])
+        out = out.at[bi * Tmax:bi * Tmax + s, n_io * Tmax:].set(
+            M_s[bi * s:(bi + 1) * s, n_io * s:])
+        out = out.at[n_io * Tmax:, bi * Tmax:bi * Tmax + s].set(
+            M_s[n_io * s:, bi * s:(bi + 1) * s])
+    return out.at[n_io * Tmax:, n_io * Tmax:].set(M_s[n_io * s:, n_io * s:])
+
+
+def _build_seq(build_for_size, layout, S, n_io):
+    """One padded matrix per distinct packet size, gathered per packet.
+
+    ``build_for_size(s) -> M_s [(n_io*s+S), (n_io*s+S)]``.  Returns either
+    a single matrix (uniform schedule) or [Npkt, R, R]."""
+    sched, Tmax, uniform, *_ = layout
+    if uniform:
+        return build_for_size(Tmax)
+    mats = {s: _embed(build_for_size(s), s, S, Tmax, n_io)
+            for s in sorted({int(v) for v in sched})}
+    return jnp.stack([mats[int(s)] for s in sched])
 
 
 def _linearize(step, T: int, n_in: int, S: int, unroll: int = 8):
@@ -80,40 +156,54 @@ def _apply_blocked(M, Ry, S, x_pkts, s0):
     state through tiny state matmuls — the per-packet data choreography
     (slice/update of [Npkt, ...] buffers inside a while loop) drops away.
 
-    M [Ry+S, Cx+S]; x_pkts [Npkt, Cx, B]; s0 [S, B].
+    M [Ry+S, Cx+S] (shared) or [Npkt, Ry+S, Cx+S] (per-packet, scheduled);
+    x_pkts [Npkt, Cx, B]; s0 [S, B].
     Returns (sF [S, B], y [Npkt, Ry, B])."""
-    Cx = M.shape[1] - S
-    Tx, U = M[:Ry, :Cx], M[:Ry, Cx:]
-    V, W = M[Ry:, :Cx], M[Ry:, Cx:]
-    yx = jnp.einsum("ij,pjb->pib", Tx, x_pkts, precision=_HI)
-    vx = jnp.einsum("sj,pjb->psb", V, x_pkts, precision=_HI)
+    seq = M.ndim == 3
+    Cx = M.shape[-1] - S
+    Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
+    V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
+    pre = "p" if seq else ""
+    yx = jnp.einsum(f"{pre}ij,pjb->pib", Tx, x_pkts, precision=_HI)
+    vx = jnp.einsum(f"{pre}sj,pjb->psb", V, x_pkts, precision=_HI)
+    xs = (yx, vx, U, W) if seq else (yx, vx)
 
     def body(s, xk):
-        yx_k, vx_k = xk
-        y = yx_k + jnp.matmul(U, s, precision=_HI)
-        return vx_k + jnp.matmul(W, s, precision=_HI), y
+        if seq:
+            yx_k, vx_k, U_k, W_k = xk
+        else:
+            (yx_k, vx_k), U_k, W_k = xk, U, W
+        y = yx_k + jnp.matmul(U_k, s, precision=_HI)
+        return vx_k + jnp.matmul(W_k, s, precision=_HI), y
 
-    sF, y = lax.scan(body, s0, (yx, vx))
+    sF, y = lax.scan(body, s0, xs)
     return sF, y
 
 
 def _apply_blocked_batched(M, Ry, S, x_pkts, s0):
     """Batched _apply_blocked over a leading group axis.
 
-    M [G, Ry+S, Cx+S]; x_pkts [Npkt, G, Cx, B]; s0 [G, S, B].
+    M [G, Ry+S, Cx+S] or per-packet [Npkt, G, Ry+S, Cx+S];
+    x_pkts [Npkt, G, Cx, B]; s0 [G, S, B].
     Returns (sF [G, S, B], y [Npkt, G, Ry, B])."""
-    Cx = M.shape[2] - S
-    Tx, U = M[:, :Ry, :Cx], M[:, :Ry, Cx:]
-    V, W = M[:, Ry:, :Cx], M[:, Ry:, Cx:]
-    yx = jnp.einsum("gij,pgjb->pgib", Tx, x_pkts, precision=_HI)
-    vx = jnp.einsum("gsj,pgjb->pgsb", V, x_pkts, precision=_HI)
+    seq = M.ndim == 4
+    Cx = M.shape[-1] - S
+    Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
+    V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
+    pre = "p" if seq else ""
+    yx = jnp.einsum(f"{pre}gij,pgjb->pgib", Tx, x_pkts, precision=_HI)
+    vx = jnp.einsum(f"{pre}gsj,pgjb->pgsb", V, x_pkts, precision=_HI)
+    xs = (yx, vx, U, W) if seq else (yx, vx)
 
     def body(s, xk):
-        yx_k, vx_k = xk
-        y = yx_k + jnp.einsum("gis,gsb->gib", U, s, precision=_HI)
-        return vx_k + jnp.einsum("gst,gtb->gsb", W, s, precision=_HI), y
+        if seq:
+            yx_k, vx_k, U_k, W_k = xk
+        else:
+            (yx_k, vx_k), U_k, W_k = xk, U, W
+        y = yx_k + jnp.einsum("gis,gsb->gib", U_k, s, precision=_HI)
+        return vx_k + jnp.einsum("gst,gtb->gsb", W_k, s, precision=_HI), y
 
-    sF, y = lax.scan(body, s0, (yx, vx))
+    sF, y = lax.scan(body, s0, xs)
     return sF, y
 
 
@@ -184,19 +274,24 @@ def chain_a(static, p, st, bl, br, master_bands, Npkt):
     """Apply loudness + master EQ to both channels as per-packet matmuls.
 
     bl/br: [Ttot, B] post-preamp samples.  Returns (st', bl', br')."""
-    T = static.block_size
-    B = bl.shape[-1]
+    layout = _sched_layout(static, Npkt)
+    Tmax = layout[1]
     outs = [bl, br]
     for ch in (0, 1):
         ch_bands = [t for t in master_bands if t[0] == ch]
         step, S = _make_a_step(static, p, ch, ch_bands)
         if S == 0:
             continue
-        Y, sF = _linearize(step, T, 1, S)
-        M = jnp.concatenate([Y, sF], axis=0)         # [T+S, T+S]
+
+        def build(s, step=step, S=S):
+            Y, sF = _linearize(step, s, 1, S)
+            return jnp.concatenate([Y, sF], axis=0)  # [s+S, s+S]
+
+        M = _build_seq(build, layout, S, 1)
         s0 = _a_state_get(static, st, ch, ch_bands)
-        sFin, y = _apply_blocked(M, T, S, outs[ch].reshape(Npkt, T, B), s0)
-        outs[ch] = y.reshape(Npkt * T, B)
+        sFin, y = _apply_blocked(M, Tmax, S, _to_packets(outs[ch], layout),
+                                 s0)
+        outs[ch] = _to_flat(y, layout)
         st = _a_state_set(static, st, ch, ch_bands, sFin)
     return st, outs[0], outs[1]
 
@@ -209,31 +304,47 @@ def chain_a(static, p, st, bl, br, master_bands, Npkt):
 def env_packet_ends(static, p, st, bl, br, Npkt):
     """Packet-end RMS envelopes (leveller.c:150-156) as weighted block sums.
 
-    env_t = a*env_{t-1} + (1-a)*y_t^2 unrolled over one packet:
-    env_end = a^T * env_start + sum_j a^(T-1-j) * (1-a) * y_j^2, with the
-    firmware's denormal flush applied at every packet boundary.
+    env_t = a*env_{t-1} + (1-a)*y_t^2 unrolled over one packet of T_k
+    samples: env_end = a^T_k * env_start + sum_j a^(T_k-1-j)*(1-a)*y_j^2,
+    with the firmware's denormal flush applied at every packet boundary.
+    Scheduled chains get per-packet weight rows (padded samples weigh 0).
     Returns (env_l, env_r) [Npkt, B] — flushed boundary values."""
-    T = static.block_size
-    B = bl.shape[-1]
+    layout = _sched_layout(static, Npkt)
+    sched, Tmax, uniform = layout[0], layout[1], layout[2]
     a = p.lev[0]
-    pw = jnp.cumprod(jnp.full((T,), a, jnp.float32))          # a^1..a^T
-    aT = pw[-1]
-    w = jnp.concatenate([pw[:T - 1][::-1],
-                         jnp.ones((1,), jnp.float32)]) * (1.0 - a)
-    cl = jnp.einsum("t,ptb->pb", w, (bl * bl).reshape(Npkt, T, B),
-                    precision=_HI)
-    cr = jnp.einsum("t,ptb->pb", w, (br * br).reshape(Npkt, T, B),
-                    precision=_HI)
+    pw = jnp.cumprod(jnp.full((Tmax,), a, jnp.float32))       # a^1..a^Tmax
 
-    def body(env, c):
-        el = aT * env[0] + c[0]
-        er = aT * env[1] + c[1]
+    def w_for(s):
+        w = jnp.concatenate([pw[:s - 1][::-1],
+                             jnp.ones((1,), jnp.float32)]) * (1.0 - a)
+        return jnp.concatenate([w, jnp.zeros((Tmax - s,), jnp.float32)])
+
+    y2l = _to_packets(bl, layout)
+    y2r = _to_packets(br, layout)
+    y2l = y2l * y2l
+    y2r = y2r * y2r
+    if uniform:
+        w = w_for(Tmax)
+        cl = jnp.einsum("t,ptb->pb", w, y2l, precision=_HI)
+        cr = jnp.einsum("t,ptb->pb", w, y2r, precision=_HI)
+        aT_seq = jnp.broadcast_to(pw[Tmax - 1], (Npkt,))
+    else:
+        ws = {s: w_for(s) for s in sorted({int(v) for v in sched})}
+        w_seq = jnp.stack([ws[int(s)] for s in sched])        # [Npkt, Tmax]
+        cl = jnp.einsum("pt,ptb->pb", w_seq, y2l, precision=_HI)
+        cr = jnp.einsum("pt,ptb->pb", w_seq, y2r, precision=_HI)
+        aT_seq = jnp.stack([pw[int(s) - 1] for s in sched])
+
+    def body(env, xk):
+        c_l, c_r, aT = xk
+        el = aT * env[0] + c_l
+        er = aT * env[1] + c_r
         el = jnp.where(el < 1e-30, 0.0, el)
         er = jnp.where(er < 1e-30, 0.0, er)
         return (el, er), (el, er)
 
     _, (env_l, env_r) = lax.scan(body, (st.lev_env[0], st.lev_env[1]),
-                                 (cl, cr))
+                                 (cl, cr, aT_seq))
     return env_l, env_r
 
 
@@ -293,25 +404,28 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
 
     Returns (st', bufs): nout [Ttot, B] arrays — the same values PASS 3-5
     of the scan path produces, to matmul rounding."""
-    T = static.block_size
-    B = bl.shape[-1]
     nout = static.n_outputs
-    Ttot = Npkt * T
+    layout = _sched_layout(static, Npkt)
+    sched, Tmax, uniform = layout[0], layout[1], layout[2]
 
     if static.crossfeed_on:
         step = _make_xf_step(p)
-        Y, sF = _linearize(step, T, 2, 4)             # Y [T, 2, C]
-        Cc = 2 * T + 4
-        M = jnp.concatenate(
-            [jnp.moveaxis(Y, 1, 0).reshape(2 * T, Cc), sF], axis=0)
+
+        def build_xf(s):
+            Y, sF = _linearize(step, s, 2, 4)        # Y [s, 2, C]
+            return jnp.concatenate(
+                [jnp.moveaxis(Y, 1, 0).reshape(2 * s, 2 * s + 4), sF],
+                axis=0)
+
+        M = _build_seq(build_xf, layout, 4, 2)
         s0 = jnp.stack([st.xf_lp[0], st.xf_lp[1], st.xf_ap[0], st.xf_ap[1]])
-        x2 = jnp.concatenate([bl.reshape(Npkt, T, B),
-                              br.reshape(Npkt, T, B)], axis=1)
-        sFin, y = _apply_blocked(M, 2 * T, 4, x2, s0)
+        x2 = jnp.concatenate([_to_packets(bl, layout),
+                              _to_packets(br, layout)], axis=1)
+        sFin, y = _apply_blocked(M, 2 * Tmax, 4, x2, s0)
         st = st._replace(xf_lp=jnp.stack([sFin[0], sFin[1]]),
                          xf_ap=jnp.stack([sFin[2], sFin[3]]))
-        bl = y[:, :T].reshape(Ttot, B)
-        br = y[:, T:].reshape(Ttot, B)
+        bl = _to_flat(y[:, :Tmax], layout)
+        br = _to_flat(y[:, Tmax:], layout)
 
     # matrix mix (usb_audio.c:751-779) — memoryless, stays elementwise
     bufs = []
@@ -327,17 +441,28 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
                       jnp.where(gr != 0.0, br * gr, 0.0))))
 
     if out_bands:
+        B = bl.shape[-1]
         live = sorted({ch - C.CH_OUT_1 for (ch, _b, _k) in out_bands})
         per_o = {o: [t for t in out_bands if t[0] - C.CH_OUT_1 == o]
                  for o in live}
         S_max = max(2 * len(b) for b in per_o.values())
-        Ms = []
-        for o in live:
-            pad = S_max - 2 * len(per_o[o])
-            step = _make_out_step(static, p, per_o[o], pad)
-            Y, sF = _linearize(step, T, 1, S_max)
-            Ms.append(jnp.concatenate([Y, sF], axis=0))
-        M_o = jnp.stack(Ms)                           # [G, T+S, T+S]
+
+        def build_group(s):
+            Ms = []
+            for o in live:
+                pad = S_max - 2 * len(per_o[o])
+                step = _make_out_step(static, p, per_o[o], pad)
+                Y, sF = _linearize(step, s, 1, S_max)
+                Ms.append(jnp.concatenate([Y, sF], axis=0))
+            return Ms                                 # G x [s+S, s+S]
+
+        if uniform:
+            M_o = jnp.stack(build_group(Tmax))        # [G, T+S, T+S]
+        else:
+            mats = {s: jnp.stack([_embed(m, s, S_max, Tmax, 1)
+                                  for m in build_group(s)])
+                    for s in sorted({int(v) for v in sched})}
+            M_o = jnp.stack([mats[int(s)] for s in sched])
 
         s_rows = []
         for o in live:
@@ -348,12 +473,12 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
             s_rows.append(vec)
         s0 = jnp.stack(s_rows)                        # [G, S_max, B]
 
-        x_g = jnp.stack([bufs[o].reshape(Npkt, T, B) for o in live],
-                        axis=1)                       # [Npkt, G, T, B]
-        sFin, y = _apply_blocked_batched(M_o, T, S_max, x_g, s0)
+        x_g = jnp.stack([_to_packets(bufs[o], layout) for o in live],
+                        axis=1)                       # [Npkt, G, Tmax, B]
+        sFin, y = _apply_blocked_batched(M_o, Tmax, S_max, x_g, s0)
         for gi, o in enumerate(live):
             st = _b_state_set_out(static, st, per_o[o], sFin[gi])
-            bufs[o] = y[:, gi].reshape(Ttot, B)
+            bufs[o] = _to_flat(y[:, gi], layout)
     return st, bufs
 
 

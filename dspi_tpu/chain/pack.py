@@ -204,7 +204,7 @@ def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
         unroll=unroll,
         outer_unroll=outer_unroll,
         schedule=tuple(int(t) for t in schedule) if schedule else (),
-        mxu=bool(mxu and cfg.platform is Platform.RP2350 and not schedule),
+        mxu=bool(mxu and cfg.platform is Platform.RP2350),
     )
 
 

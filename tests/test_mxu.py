@@ -73,13 +73,26 @@ def test_mxu_vs_scan_variants(rng, variant):
     assert _rel_rms(outs[True], outs[False]) < 1e-6
 
 
-def test_mxu_q28_and_schedule_fall_back():
+def test_mxu_q28_falls_back():
     cfg = DeviceConfig(platform=Platform.RP2040)
     eng = Engine(cfg, n_streams=2, mxu=True)
     assert not eng.static.mxu                 # Q28 stays bit-exact scans
-    cfg2 = rich_config(Platform.RP2350)
-    eng2 = Engine(cfg2, n_streams=2, schedule=(44, 45, 44), mxu=True)
-    assert not eng2.static.mxu                # variable packets -> scan path
+
+
+def test_mxu_variable_schedule_matches_scan(rng):
+    """44.1 kHz 44/45 cadence: per-size padded matrices vs the scan path."""
+    cfg = rich_config(Platform.RP2350, sample_rate=44100.0, pdm=False)
+    sched = (44, 45) * 8
+    x = rng.integers(-16000, 16000,
+                     size=(2, sum(sched), 3)).astype(np.int32)
+    outs = {}
+    for mxu in (False, True):
+        eng = Engine(cfg, n_streams=3, schedule=sched, pdm=False, mxu=mxu,
+                     unroll=4)
+        assert eng.static.mxu == mxu
+        eng.process(x)
+        outs[mxu] = np.asarray(eng.process(x)["out"])
+    assert _rel_rms(outs[True], outs[False]) < 1e-6
 
 
 def test_mxu_survives_update_config(rng):
