@@ -98,6 +98,55 @@ def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None, chain_k=8):
     return rtf, best
 
 
+def bench_sched441(b=B, n_pairs=64, chain_k=8):
+    """Full chain at 44.1 kHz with the firmware's 44/45 variable-packet
+    cadence compiled in (chained-on-device timing)."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    from bench import full_chain_config
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.chain.pipeline import _process_float
+    from dspi_tpu.core.constants import Platform
+
+    sched = (44, 45) * n_pairs
+    cfg = full_chain_config(Platform.RP2350, sample_rate=44100.0)
+    eng = Engine(cfg, n_streams=b, emit="reduced", schedule=sched,
+                 unroll=UNROLL, pdm_fade=False)
+    rng = np.random.default_rng(7)
+    x = jax.device_put(rng.integers(
+        -16000, 16000, size=(2, sum(sched), b)).astype(np.int32))
+    pm = jnp.ones((len(sched),), jnp.float32)
+    raw = functools.partial(_process_float, eng.static)
+
+    @jax.jit
+    def run(params, state, x):
+        def body(_, carry):
+            st, acc = carry
+            st, out = raw(params, st, x, pm)
+            return st, acc + sum(jnp.sum(l).astype(jnp.float32)
+                                 for l in jax.tree.leaves(out))
+        _, acc = lax.fori_loop(0, chain_k, body, (state, jnp.float32(0)))
+        return acc
+
+    dp = jax.tree.map(lambda v: None if v is None else jax.device_put(v),
+                      eng.params)
+    ds = jax.tree.map(lambda v: None if v is None else jax.device_put(v),
+                      eng.state)
+    v = float(np.asarray(run(dp, ds, x)))
+    assert v == v
+    best = float("inf")
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        float(np.asarray(run(dp, ds, x)))
+        best = min(best, (time.perf_counter() - t0) / chain_k)
+    rtf = b * sum(sched) / 44100.0 / best
+    print(f"44.1k sched full chain: {rtf:.0f}x", flush=True)
+    return rtf
+
+
 def main():
     stages = sys.argv[1:] or ["pdm", "chain", "nopdm", "passthrough", "peq"]
     from dspi_tpu import DeviceConfig, EqBand, FilterType
@@ -147,6 +196,8 @@ def main():
             cfg = full_chain_config(Platform.RP2040)
             rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL)
             out["full_chain_q28"] = {"rtf": rtf, "wall": dt}
+        elif s == "sched441":
+            out["full_44k1_sched"] = {"rtf": bench_sched441()}
         else:
             print(f"unknown stage {s}", file=sys.stderr)
             continue
