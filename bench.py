@@ -79,6 +79,12 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
         run chained inside ONE jit — state threads through, each
         segment's reduced outputs accumulate into one scalar — and a
         single readback forces all of them.  RTF = depth*audio_sec/wall.
+      * each chained segment processes a DIFFERENT input (the buffer
+        rotated by the iteration index): with identical inputs XLA's
+        while-loop invariant code motion could hoist every input-only
+        computation (unpack, the MXU x-response matmuls) out of the loop
+        and count it once instead of ``depth`` times — serving always
+        sees fresh data, so that hoist would be a lie.
     """
     import functools
 
@@ -103,9 +109,9 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
 
     @jax.jit
     def run(params, state, x):
-        def body(_, carry):
+        def body(i, carry):
             st, acc = carry
-            st, out = raw(params, st, x, pm)
+            st, out = raw(params, st, jnp.roll(x, i, axis=0), pm)
             return st, acc + sum(jnp.sum(leaf).astype(jnp.float32)
                                  for leaf in jax.tree.leaves(out))
         _, acc = lax.fori_loop(0, depth, body, (state, jnp.float32(0)))

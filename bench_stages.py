@@ -85,9 +85,12 @@ def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None, chain_k=8):
 
     @jax.jit
     def run(state, x):
-        def body(_, carry):
+        def body(i, carry):
             s, acc = carry
-            s, words = pdm_segment(s, x, unroll=unroll, impl=impl)
+            # rotate the input per iteration: identical inputs would let
+            # XLA hoist input-only work out of the chained loop
+            s, words = pdm_segment(s, jnp.roll(x, i, axis=0),
+                                   unroll=unroll, impl=impl)
             return s, acc ^ jnp.sum(words, dtype=jnp.uint32)
         s, acc = lax.fori_loop(0, chain_k, body, (state, jnp.uint32(0)))
         return (acc ^ s.pdm_rng[0]
@@ -123,9 +126,9 @@ def bench_sched441(b=B, n_pairs=64, chain_k=8):
 
     @jax.jit
     def run(params, state, x):
-        def body(_, carry):
+        def body(i, carry):
             st, acc = carry
-            st, out = raw(params, st, x, pm)
+            st, out = raw(params, st, jnp.roll(x, i, axis=1), pm)
             return st, acc + sum(jnp.sum(l).astype(jnp.float32)
                                  for l in jax.tree.leaves(out))
         _, acc = lax.fori_loop(0, chain_k, body, (state, jnp.float32(0)))

@@ -161,6 +161,19 @@ class Engine:
 
     def load_state(self, path: str) -> None:
         data = np.load(path)
+        # Pre-time-ordered-ring checkpoints stored circular rings plus
+        # their indices.  Index 0 means the circular layout coincides with
+        # the time-ordered one (oldest-first) and loads fine; a nonzero
+        # index would silently load a rotated ring, so refuse it.
+        for legacy in ("delay_idx", "lev_la_idx"):
+            if legacy in data.files and int(np.asarray(data[legacy])) != 0:
+                raise ValueError(
+                    f"checkpoint {path} was saved with a circular "
+                    f"{legacy.split('_idx')[0]} ring at offset "
+                    f"{int(np.asarray(data[legacy]))}; rings are now "
+                    "stored time-ordered — re-save the state with this "
+                    "version (or resume from a segment boundary where "
+                    "the index was 0)")
         updates = {}
         for f in self.state._fields:
             cur = getattr(self.state, f)

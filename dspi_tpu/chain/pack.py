@@ -87,8 +87,9 @@ class StaticChain:
     schedule: tuple = ()
     # Lower the float chain's LTI passes (loudness+EQ, crossfeed+matrix+
     # out-EQ) to MXU block-state-space matmuls (chain/mxu.py).  Float path
-    # only, uniform schedules, homogeneous params; held to the <=1e-6 RMS
-    # firmware-fidelity budget instead of golden bit-exactness.
+    # only, homogeneous (non-per-stream) params; uniform AND variable
+    # (44/45) schedules supported; held to the <=1e-6 RMS firmware-
+    # fidelity budget instead of golden bit-exactness.
     mxu: bool = False
 
     @property

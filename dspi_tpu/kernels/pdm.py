@@ -39,12 +39,14 @@ Three lowerings of the same math:
 
   * ``pallas``   — the production TPU path (kernels/pdm_pallas.py): a
     Mosaic kernel with the modulator state register/VMEM-resident across
-    the whole segment.  Measured 30,854x RT at B=8192 on v5e (36,015x at
-    B=32768) vs 2,346x for the XLA scan — 13x.  Round 1 concluded the
-    opposite because its per-call walls sat on the ~27 ms tunnel-readback
-    floor; chained-on-device timing (8 segment iterations inside one jit,
-    one readback) shows the truth.  Requires B % 1024 == 0 and a segment
-    length divisible by a usable time chunk; falls back otherwise.
+    the whole segment and an 8-op/bit sign-mask bit loop.  Measured
+    46,710x RT at B=8192 on v5e vs 2,346x for the XLA scan (the first
+    port, before the op diet, measured 30,854x).  Round 1 concluded
+    Pallas was *slower* because its per-call walls sat on the ~27 ms
+    tunnel-readback floor; chained-on-device timing (segment iterations
+    inside one jit, one readback) shows the truth.  Requires
+    B % 1024 == 0 and a segment length divisible by a usable time chunk;
+    falls back otherwise.
   * ``unrolled`` — all 256 bit steps straight-line inside a lax.scan body;
     the XLA fallback (and the reference the others are tested against).
   * ``fori``     — nested lax.fori_loop over chunks/bits; ~100x faster to
@@ -182,7 +184,8 @@ def resolve_impl(impl: str = "auto") -> str:
     impl = os.environ.get("DSPI_PDM_IMPL", impl)
     if impl == "auto":
         backend = jax.default_backend()
-        impl = "fori" if backend == "cpu" else "pallas"
+        impl = ("pallas" if backend == "tpu"
+                else "fori" if backend == "cpu" else "unrolled")
     return impl
 
 

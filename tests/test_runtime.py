@@ -135,3 +135,30 @@ def test_float_24bit_input(rng):
     rms_err = np.sqrt(np.mean((got.astype(np.float64) - want) ** 2))
     assert rms_err / rms_ref < 1e-6, (rms_err, rms_ref)
     assert np.abs(got - want).max() < 1e-6
+
+
+def test_load_state_rejects_rotated_legacy_rings(tmp_path, rng):
+    """Pre-time-ordered checkpoints stored circular rings + indices; a
+    nonzero index means the ring is rotated relative to the new layout and
+    must be refused rather than silently misinterpreted."""
+    import numpy as np
+    import pytest
+
+    from util import rich_config
+    from dspi_tpu import Platform
+    from dspi_tpu.chain import Engine
+
+    eng = Engine(rich_config(Platform.RP2350), n_streams=2, unroll=4)
+    path = str(tmp_path / "ck.npz")
+    eng.save_state(path)
+    eng.load_state(path)                       # current format round-trips
+
+    data = dict(np.load(path))
+    data["delay_idx"] = np.int32(0)            # aligned legacy ring: fine
+    np.savez(str(tmp_path / "ck0.npz"), **data)
+    eng.load_state(str(tmp_path / "ck0.npz"))
+
+    data["lev_la_idx"] = np.int32(96)          # rotated: refuse
+    np.savez(str(tmp_path / "ck1.npz"), **data)
+    with pytest.raises(ValueError, match="time-ordered"):
+        eng.load_state(str(tmp_path / "ck1.npz"))
