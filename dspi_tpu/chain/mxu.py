@@ -48,6 +48,10 @@ from jax import lax
 
 from ..core import constants as C
 
+# HIGHEST = 6-pass bf16 decomposition, fully f32-accurate products.
+# Measured on v5e: Precision.HIGH (3-pass) degrades chain fidelity to
+# 2.8e-5 relative RMS (28x over the 1e-6 firmware budget) for only +2.5%
+# throughput — the matmuls are not the bottleneck; no trade to make.
 _HI = lax.Precision.HIGHEST
 F = np.float32
 
