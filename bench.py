@@ -65,7 +65,7 @@ def full_chain_config(platform, sample_rate=48000.0, pdm=True):
 
 
 def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
-                 block=None, depth=None):
+                 block=None, depth=None, schedule=None):
     """Chained-throughput measurement.
 
     Honesty rules (tunneled backends lie in two ways):
@@ -98,10 +98,20 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
     depth = depth or int(os.environ.get("DSPI_BENCH_DEPTH", 8))
     block = block or (96 if cfg.sample_rate == 96000 else 48)
     eng = Engine(cfg, n_streams=n_streams, block_size=block, emit="reduced",
-                 pdm=pdm, unroll=unroll, pdm_fade=False)
+                 pdm=pdm, unroll=unroll, pdm_fade=False, schedule=schedule)
     rng = np.random.default_rng(7)
-    x = rng.integers(-16000, 16000,
-                     size=(n_packets, 2, block, n_streams)).astype(np.int32)
+    if schedule:
+        n_packets = len(schedule)
+        n_samples = sum(schedule)
+        x = rng.integers(-16000, 16000,
+                         size=(2, n_samples, n_streams)).astype(np.int32)
+        roll_axis = 1
+    else:
+        n_samples = n_packets * block
+        x = rng.integers(
+            -16000, 16000,
+            size=(n_packets, 2, block, n_streams)).astype(np.int32)
+        roll_axis = 0
     x = jax.device_put(x)
     pm = jnp.ones((n_packets,), jnp.float32)
     raw = functools.partial(
@@ -111,7 +121,7 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
     def run(params, state, x):
         def body(i, carry):
             st, acc = carry
-            st, out = raw(params, st, jnp.roll(x, i, axis=0), pm)
+            st, out = raw(params, st, jnp.roll(x, i, axis=roll_axis), pm)
             return st, acc + sum(jnp.sum(leaf).astype(jnp.float32)
                                  for leaf in jax.tree.leaves(out))
         _, acc = lax.fori_loop(0, depth, body, (state, jnp.float32(0)))
@@ -127,7 +137,7 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
 
     v = chained()                          # compile + warm
     assert v == v                          # NaN gate
-    audio_sec = n_streams * n_packets * block / cfg.sample_rate
+    audio_sec = n_streams * n_samples / cfg.sample_rate
     best = float("inf")
     for _ in range(max(iters, 2)):
         t0 = time.perf_counter()

@@ -101,51 +101,14 @@ def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None, chain_k=8):
     return rtf, best
 
 
-def bench_sched441(b=B, n_pairs=64, chain_k=8):
+def bench_sched441(b=B, n_pairs=64):
     """Full chain at 44.1 kHz with the firmware's 44/45 variable-packet
-    cadence compiled in (chained-on-device timing)."""
-    import functools
-
-    import jax.numpy as jnp
-    from jax import lax
-
-    from bench import full_chain_config
-    from dspi_tpu.chain import Engine
-    from dspi_tpu.chain.pipeline import _process_float
+    cadence compiled in (thin wrapper over bench.bench_engine)."""
     from dspi_tpu.core.constants import Platform
 
-    sched = (44, 45) * n_pairs
     cfg = full_chain_config(Platform.RP2350, sample_rate=44100.0)
-    eng = Engine(cfg, n_streams=b, emit="reduced", schedule=sched,
-                 unroll=UNROLL, pdm_fade=False)
-    rng = np.random.default_rng(7)
-    x = jax.device_put(rng.integers(
-        -16000, 16000, size=(2, sum(sched), b)).astype(np.int32))
-    pm = jnp.ones((len(sched),), jnp.float32)
-    raw = functools.partial(_process_float, eng.static)
-
-    @jax.jit
-    def run(params, state, x):
-        def body(i, carry):
-            st, acc = carry
-            st, out = raw(params, st, jnp.roll(x, i, axis=1), pm)
-            return st, acc + sum(jnp.sum(l).astype(jnp.float32)
-                                 for l in jax.tree.leaves(out))
-        _, acc = lax.fori_loop(0, chain_k, body, (state, jnp.float32(0)))
-        return acc
-
-    dp = jax.tree.map(lambda v: None if v is None else jax.device_put(v),
-                      eng.params)
-    ds = jax.tree.map(lambda v: None if v is None else jax.device_put(v),
-                      eng.state)
-    v = float(np.asarray(run(dp, ds, x)))
-    assert v == v
-    best = float("inf")
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        float(np.asarray(run(dp, ds, x)))
-        best = min(best, (time.perf_counter() - t0) / chain_k)
-    rtf = b * sum(sched) / 44100.0 / best
+    rtf, _ = bench_engine(cfg, b, None, ITERS, UNROLL,
+                          schedule=(44, 45) * n_pairs)
     print(f"44.1k sched full chain: {rtf:.0f}x", flush=True)
     return rtf
 

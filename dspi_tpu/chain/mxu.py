@@ -41,12 +41,15 @@ per-stream coefficients use the scan path.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 import jax.numpy as jnp
 from jax import lax
 
 from ..core import constants as C
+from .pack import TDF2
 
 # HIGHEST = 6-pass bf16 decomposition, fully f32-accurate products.
 # Measured on v5e: Precision.HIGH (3-pass) degrades chain fidelity to
@@ -56,39 +59,50 @@ _HI = lax.Precision.HIGHEST
 F = np.float32
 
 
-def _sched_layout(static, Npkt):
-    """Static packet geometry: per-packet sizes, padded-view gather indices
-    and the flat<->padded mappings (all numpy, compiled into the program)."""
+class _Layout(NamedTuple):
+    """Static packet geometry (all numpy, compiled into the program)."""
+
+    sched: np.ndarray       # [Npkt] per-packet sample counts
+    tmax: int
+    uniform: bool
+    pad_idx: np.ndarray     # [Npkt, Tmax] flat gather indices (padded view)
+    pad_mask: np.ndarray    # [Npkt, Tmax] True on real samples
+    tt: np.ndarray          # [Ttot] within-packet index per flat sample
+    kk: np.ndarray          # [Ttot] packet index per flat sample
+
+
+def _sched_layout(static, Npkt) -> _Layout:
+    from .pipeline import _ramp_indices
+
     if static.schedule:
         sched = np.asarray(static.schedule, np.int64)
     else:
         sched = np.full(Npkt, static.block_size, np.int64)
     Tmax = int(sched.max())
-    uniform = bool((sched == Tmax).all())
     starts = np.concatenate([[0], np.cumsum(sched)[:-1]])
     pad_idx = np.minimum(starts[:, None] + np.arange(Tmax)[None, :],
                          int(sched.sum()) - 1)
     pad_mask = (np.arange(Tmax)[None, :] < sched[:, None])
-    tt = np.concatenate([np.arange(t) for t in sched])
-    kk = np.repeat(np.arange(len(sched)), sched)
-    return sched, Tmax, uniform, pad_idx, pad_mask, tt, kk
+    tt, kk = _ramp_indices(sched)
+    return _Layout(sched, Tmax, bool((sched == Tmax).all()),
+                   pad_idx, pad_mask, tt, kk)
 
 
-def _to_packets(x_flat, layout):
+def _to_packets(x_flat, layout: _Layout):
     """[Ttot, B] -> [Npkt, Tmax, B]; padded samples forced to zero."""
-    sched, Tmax, uniform, pad_idx, pad_mask, _tt, _kk = layout
-    if uniform:
-        return x_flat.reshape(len(sched), Tmax, x_flat.shape[-1])
-    return x_flat[pad_idx] * pad_mask[:, :, None].astype(x_flat.dtype)
+    if layout.uniform:
+        return x_flat.reshape(len(layout.sched), layout.tmax,
+                              x_flat.shape[-1])
+    return (x_flat[layout.pad_idx]
+            * layout.pad_mask[:, :, None].astype(x_flat.dtype))
 
 
-def _to_flat(y_pkts, layout):
+def _to_flat(y_pkts, layout: _Layout):
     """[Npkt, Tmax, B] -> [Ttot, B], dropping padded rows."""
-    sched, Tmax, uniform, _pi, _pm, tt, kk = layout
-    if uniform:
+    if layout.uniform:
         n, t, b = y_pkts.shape
         return y_pkts.reshape(n * t, b)
-    return y_pkts[kk, tt]
+    return y_pkts[layout.kk, layout.tt]
 
 
 def _embed(M_s, s, S, Tmax, n_io):
@@ -118,12 +132,11 @@ def _build_seq(build_for_size, layout, S, n_io):
 
     ``build_for_size(s) -> M_s [(n_io*s+S), (n_io*s+S)]``.  Returns either
     a single matrix (uniform schedule) or [Npkt, R, R]."""
-    sched, Tmax, uniform, *_ = layout
-    if uniform:
-        return build_for_size(Tmax)
-    mats = {s: _embed(build_for_size(s), s, S, Tmax, n_io)
-            for s in sorted({int(v) for v in sched})}
-    return jnp.stack([mats[int(s)] for s in sched])
+    if layout.uniform:
+        return build_for_size(layout.tmax)
+    mats = {s: _embed(build_for_size(s), s, S, layout.tmax, n_io)
+            for s in sorted({int(v) for v in layout.sched})}
+    return jnp.stack([mats[int(s)] for s in layout.sched])
 
 
 def _linearize(step, T: int, n_in: int, S: int, unroll: int = 8):
@@ -247,7 +260,7 @@ def _a_state_get(static, st, ch, ch_bands):
         for j in range(2):
             rows += [st.loud_a[ch, j], st.loud_b[ch, j]]
     for (c, band, kind) in ch_bands:
-        if kind != 1:                                # != TDF2 -> SVF
+        if kind != TDF2:                             # SVF state
             rows += [st.eq_c[c, band], st.eq_d[c, band]]
         else:
             rows += [st.eq_a[c, band], st.eq_b[c, band]]
@@ -264,7 +277,7 @@ def _a_state_set(static, st, ch, ch_bands, vec):
             i += 2
         st = st._replace(loud_a=loud_a, loud_b=loud_b)
     for (c, band, kind) in ch_bands:
-        if kind != 1:
+        if kind != TDF2:
             st = st._replace(eq_c=st.eq_c.at[c, band].set(vec[i]),
                              eq_d=st.eq_d.at[c, band].set(vec[i + 1]))
         else:
@@ -279,7 +292,7 @@ def chain_a(static, p, st, bl, br, master_bands, Npkt):
 
     bl/br: [Ttot, B] post-preamp samples.  Returns (st', bl', br')."""
     layout = _sched_layout(static, Npkt)
-    Tmax = layout[1]
+    Tmax = layout.tmax
     outs = [bl, br]
     for ch in (0, 1):
         ch_bands = [t for t in master_bands if t[0] == ch]
@@ -314,7 +327,7 @@ def env_packet_ends(static, p, st, bl, br, Npkt):
     Scheduled chains get per-packet weight rows (padded samples weigh 0).
     Returns (env_l, env_r) [Npkt, B] — flushed boundary values."""
     layout = _sched_layout(static, Npkt)
-    sched, Tmax, uniform = layout[0], layout[1], layout[2]
+    sched, Tmax, uniform = layout.sched, layout.tmax, layout.uniform
     a = p.lev[0]
     pw = jnp.cumprod(jnp.full((Tmax,), a, jnp.float32))       # a^1..a^Tmax
 
@@ -410,7 +423,7 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
     of the scan path produces, to matmul rounding."""
     nout = static.n_outputs
     layout = _sched_layout(static, Npkt)
-    sched, Tmax, uniform = layout[0], layout[1], layout[2]
+    sched, Tmax, uniform = layout.sched, layout.tmax, layout.uniform
 
     if static.crossfeed_on:
         step = _make_xf_step(p)
@@ -489,7 +502,7 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
 def _b_state_get_out(static, st, o_bands):
     rows = []
     for (c, band, kind) in o_bands:
-        if kind != 1:
+        if kind != TDF2:
             rows += [st.eq_c[c, band], st.eq_d[c, band]]
         else:
             rows += [st.eq_a[c, band], st.eq_b[c, band]]
@@ -499,7 +512,7 @@ def _b_state_get_out(static, st, o_bands):
 def _b_state_set_out(static, st, o_bands, vec):
     i = 0
     for (c, band, kind) in o_bands:
-        if kind != 1:
+        if kind != TDF2:
             st = st._replace(eq_c=st.eq_c.at[c, band].set(vec[i]),
                              eq_d=st.eq_d.at[c, band].set(vec[i + 1]))
         else:
