@@ -17,19 +17,19 @@ The quantizer feedback is a nonlinear recurrence — inherently sequential in
 time.  All throughput comes from the stream axis: every bit step is one
 vector op across [B] streams.
 
-Bit-step formulation: EXACTLY the reference's op shape.  Measured on v5e
-(pdm_experiments.py, B=8192):
+Bit-step formulation under XLA (the scan lowerings): EXACTLY the
+reference's op shape.  Measured on v5e (pdm_experiments.py, B=8192):
 
   reference form (compare err2+dither, scalar-const fb select) : 2095x RT
   dither folded into the carry (one add/bit fewer!)             :  932x
   increments as selects of per-sample [B] arrays                : 1038x
   mask-or instead of shift-or word build                        : equal
 
-Fewer ops on paper lost 2x in practice — both "optimizations" knock the
-Mosaic lowering off its fast path (vector-operand selects cost far more
-than scalar-splat selects, and the folded carry defeats whatever pattern
-the compare+add hits).  Keep the reference formulation; change it only
-with a fresh pdm_experiments.py measurement.
+Fewer ops on paper lost 2x under XLA — both "optimizations" knock its
+lowering off the fast path (vector-operand selects cost far more than
+scalar-splat selects).  The Pallas kernel is different: with explicit
+register-resident state the 8-op/bit sign-mask form wins (see
+kernels/pdm_pallas.py).  Change either only with a fresh measurement.
 
 Sample-scope work (clip, fade ramp, target) is closed-form over the whole
 segment and computed vectorized outside the scan: the fade counter is
