@@ -7,14 +7,15 @@ import numpy as np
 from ..core import constants as C
 from ..params.design import derive
 from ..params.types import DeviceConfig
+from .grouped import GroupedEngine
 from .pack import (ChainParams, ChainState, StaticChain, build_params,
                    build_params_multi,
                    build_static, init_state)
 from .pipeline import make_process
 
-__all__ = ["Engine", "StaticChain", "ChainParams", "ChainState",
-           "build_static", "build_params", "build_params_multi",
-           "init_state", "make_process"]
+__all__ = ["Engine", "GroupedEngine", "StaticChain", "ChainParams",
+           "ChainState", "build_static", "build_params",
+           "build_params_multi", "init_state", "make_process"]
 
 
 class Engine:

@@ -1,0 +1,124 @@
+"""Grouped heterogeneous serving: K configs x G streams as one program.
+
+The firmware serves exactly one configuration; batched serving wants many.
+Two mechanisms exist:
+
+  * per-stream parameters (``build_params_multi``): every stream can carry
+    its own coefficients, but the trailing stream axis forces the scan
+    path — the MXU block matrices would need per-stream weights;
+  * THIS module: K distinct configs, each driving its own group of
+    ``streams_per_group`` parallel streams.  Params and state get a
+    leading group axis and the segment processor is ``jax.vmap``-ed over
+    it, so the block-state-space matmuls (chain/mxu.py) batch across
+    groups and heterogeneous serving runs at the homogeneous path's
+    speed.  The Pallas PDM kernel vmaps too (verified bit-identical to
+    per-group runs on v5e).
+
+All configs must share static structure (band kinds, enables, dynamics
+toggles — everything ``build_static`` compiles in); coefficient-level
+differences (frequencies, gains, volumes, delays, routing weights) are
+free.  Mirrors how a fleet would shard customers over one compiled
+program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..core import constants as C
+from ..params.design import derive
+from .pack import build_params, build_static, init_state
+
+
+def _stack_trees(trees):
+    import jax
+
+    def stack(*vs):
+        if vs[0] is None:
+            return None
+        return np.stack([np.asarray(v) for v in vs])
+
+    return jax.tree.map(stack, *trees, is_leaf=lambda v: v is None)
+
+
+class GroupedEngine:
+    """K device configs, one vmapped pipeline, K x streams_per_group streams.
+
+    >>> eng = GroupedEngine([cfg_a, cfg_b], streams_per_group=4096)
+    >>> out = eng.process(x)   # x: int32 [K, n_packets, 2, block, G]
+    """
+
+    def __init__(self, cfgs, streams_per_group: int, block_size: int = 48,
+                 bit_depth: int = 16, emit: str = "full", pdm: bool = True,
+                 unroll: int = 8, pdm_fade: bool = True,
+                 pdm_seed=C.PDM_RNG_SEED, mxu="auto"):
+        import jax
+
+        from .pipeline import _process_float, _process_q28
+
+        if mxu == "auto":
+            mxu = jax.default_backend() == "tpu"
+        self.cfgs = list(cfgs)
+        self.n_groups = len(self.cfgs)
+        self.streams_per_group = streams_per_group
+        self.deriveds = [derive(c) for c in self.cfgs]
+        statics = [build_static(d, block_size=block_size,
+                                bit_depth=bit_depth, emit=emit, pdm=pdm,
+                                unroll=unroll, mxu=mxu)
+                   for d in self.deriveds]
+        if any(s != statics[0] for s in statics):
+            raise ValueError(
+                "grouped configs must share static structure (band kinds, "
+                "enables, dynamics toggles); use one Engine per structure "
+                "or build_params_multi for per-stream coefficients")
+        self.static = statics[0]
+        self.params = _stack_trees(
+            [build_params(d, self.static) for d in self.deriveds])
+        self.state = _stack_trees(
+            [init_state(self.static, streams_per_group, pdm_seed=pdm_seed,
+                        pdm_fade=pdm_fade)
+             for _ in range(self.n_groups)])
+        raw = functools.partial(
+            _process_float if self.static.is_float else _process_q28,
+            self.static)
+        self._fn = jax.jit(jax.vmap(raw, in_axes=(0, 0, 0, None)),
+                           donate_argnums=(1,))
+        self._jnp = jax.numpy
+
+    def update_group(self, k: int, cfg) -> None:
+        """Swap group ``k``'s coefficients (no recompile; the new config
+        must keep the shared static structure)."""
+        import jax
+
+        d = derive(cfg)
+        s = build_static(d, block_size=self.static.block_size,
+                         bit_depth=self.static.bit_depth,
+                         emit=self.static.emit, pdm=self.static.pdm_on,
+                         unroll=self.static.unroll, mxu=self.static.mxu)
+        if s != self.static:
+            raise ValueError("new config changes the static structure")
+        new = build_params(d, self.static)
+
+        def put(stacked, leaf):
+            if stacked is None:
+                return None
+            arr = np.asarray(stacked).copy()
+            arr[k] = np.asarray(leaf)
+            return arr
+
+        self.params = jax.tree.map(put, self.params, new,
+                                   is_leaf=lambda v: v is None)
+        self.cfgs[k] = cfg
+        self.deriveds[k] = d
+
+    def process(self, x, preset_mute=None):
+        """x: int32 [K, n_packets, 2, block, G] -> output dict with a
+        leading group axis on every entry."""
+        if preset_mute is None:
+            npkt = (len(self.static.schedule) if self.static.schedule
+                    else x.shape[1])
+            preset_mute = self._jnp.ones((npkt,), self._jnp.float32)
+        self.state, out = self._fn(self.params, self.state, x, preset_mute)
+        return out
