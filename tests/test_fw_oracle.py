@@ -198,3 +198,27 @@ def test_native_crossfeed_coefficients_close():
         err = np.sqrt(np.mean((got - want) ** 2))
         assert err / ref < 1e-4, (preset, err / ref)
         assert abs(float(d.crossfeed.lp_b1) - 0.0) > 0  # derived path ran
+
+
+def test_mxu_device_path_vs_firmware_oracle(rng):
+    """The PRODUCTION float path (MXU block-state-space lowering) measured
+    DIRECTLY against the firmware-float oracle — not transitively through
+    the golden model.  This is the strongest form of the BASELINE
+    "<=1e-6 RMS vs firmware" gate for what actually serves on TPU."""
+    from dspi_tpu.chain import Engine
+
+    cfg = cfg5_full_96k()
+    block = 96
+    x = make_input(rng, NPKT, block, 1, scale=0.5)
+    fw = native.FirmwareFloat(cfg, coeff_source="design")
+    want, _ = fw.process(x[..., 0], bit_depth=16)
+
+    eng = Engine(cfg, n_streams=1, block_size=block, mxu=True, unroll=4)
+    assert eng.static.mxu
+    got = np.asarray(eng.process(x)["out"])[..., 0]
+
+    ref = np.sqrt(np.mean(np.asarray(want, np.float64) ** 2)) + 1e-30
+    rel = np.sqrt(np.mean((got.astype(np.float64) - want) ** 2)) / ref
+    print(f"\nmxu-device-vs-firmware RMS = {rel:.3e}")
+    assert ref > 1e-5
+    assert rel < 1e-6, rel
