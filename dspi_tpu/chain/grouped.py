@@ -53,7 +53,7 @@ class GroupedEngine:
     def __init__(self, cfgs, streams_per_group: int, block_size: int = 48,
                  bit_depth: int = 16, emit: str = "full", pdm: bool = True,
                  unroll: int = 8, pdm_fade: bool = True,
-                 pdm_seed=C.PDM_RNG_SEED, mxu="auto"):
+                 pdm_seed=C.PDM_RNG_SEED, schedule=None, mxu="auto"):
         import jax
 
         from .pipeline import _process_float, _process_q28
@@ -66,7 +66,7 @@ class GroupedEngine:
         self.deriveds = [derive(c) for c in self.cfgs]
         statics = [build_static(d, block_size=block_size,
                                 bit_depth=bit_depth, emit=emit, pdm=pdm,
-                                unroll=unroll, mxu=mxu)
+                                unroll=unroll, schedule=schedule, mxu=mxu)
                    for d in self.deriveds]
         if any(s != statics[0] for s in statics):
             raise ValueError(
@@ -96,7 +96,8 @@ class GroupedEngine:
         s = build_static(d, block_size=self.static.block_size,
                          bit_depth=self.static.bit_depth,
                          emit=self.static.emit, pdm=self.static.pdm_on,
-                         unroll=self.static.unroll, mxu=self.static.mxu)
+                         unroll=self.static.unroll,
+                         schedule=self.static.schedule, mxu=self.static.mxu)
         if s != self.static:
             raise ValueError("new config changes the static structure")
         new = build_params(d, self.static)
@@ -114,8 +115,9 @@ class GroupedEngine:
         self.deriveds[k] = d
 
     def process(self, x, preset_mute=None):
-        """x: int32 [K, n_packets, 2, block, G] -> output dict with a
-        leading group axis on every entry."""
+        """x: int32 [K, n_packets, 2, block, G] (scheduled chains:
+        [K, 2, sum(schedule), G]) -> output dict with a leading group
+        axis on every entry."""
         if preset_mute is None:
             npkt = (len(self.static.schedule) if self.static.schedule
                     else x.shape[1])

@@ -81,3 +81,21 @@ def test_static_mismatch_rejected():
     bad.leveller.enabled = False
     with pytest.raises(ValueError, match="static structure"):
         eng.update_group(0, bad)
+
+
+def test_grouped_schedule(rng):
+    """Grouped engine over the 44/45 variable-packet cadence."""
+    cfgs = _cfgs(Platform.RP2350)
+    sched = (44, 45, 44)
+    eng = GroupedEngine(cfgs, streams_per_group=G, schedule=sched,
+                        unroll=4, mxu=False, pdm=False)
+    x = np.stack([
+        rng.integers(-16000, 16000, size=(2, sum(sched), G)).astype(np.int32)
+        for _ in range(K)])
+    out = eng.process(x)
+    for k in (0, K - 1):
+        single = Engine(cfgs[k], n_streams=G, schedule=sched, unroll=4,
+                        mxu=False, pdm=False)
+        want = single.process(x[k])
+        np.testing.assert_array_equal(np.asarray(out["out"])[k],
+                                      np.asarray(want["out"]))
