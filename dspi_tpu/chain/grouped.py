@@ -74,8 +74,10 @@ class GroupedEngine:
                 "enables, dynamics toggles); use one Engine per structure "
                 "or build_params_multi for per-stream coefficients")
         self.static = statics[0]
-        self.params = _stack_trees(
-            [build_params(d, self.static) for d in self.deriveds])
+        # device-resident: steady-state process() calls must not re-upload
+        # the stacked tree every segment
+        self.params = jax.device_put(_stack_trees(
+            [build_params(d, self.static) for d in self.deriveds]))
         self.state = _stack_trees(
             [init_state(self.static, streams_per_group, pdm_seed=pdm_seed,
                         pdm_fade=pdm_fade)
@@ -109,8 +111,8 @@ class GroupedEngine:
             arr[k] = np.asarray(leaf)
             return arr
 
-        self.params = jax.tree.map(put, self.params, new,
-                                   is_leaf=lambda v: v is None)
+        self.params = jax.device_put(
+            jax.tree.map(put, self.params, new, is_leaf=lambda v: v is None))
         self.cfgs[k] = cfg
         self.deriveds[k] = d
 

@@ -229,6 +229,21 @@ def _apply_blocked_batched(M, Ry, S, x_pkts, s0):
 # ----------------------------------------------------------------------------
 
 
+def _check_homogeneous(p):
+    """The impulse-built block matrices are linearized from homogeneous
+    coefficients; a trailing per-stream axis (build_params_multi) would
+    broadcast against the impulse basis and produce silently wrong blocks
+    when shapes happen to line up.  Guard on ranks (pack.py layouts)."""
+    if p.eq_f32 is not None and jnp.ndim(p.eq_f32) != 3:
+        raise ValueError(
+            "MXU chain requires homogeneous params (eq_f32 [nch, NB, 11]); "
+            "per-stream parameters must use the scan path (mxu=False)")
+    if jnp.ndim(p.xf) != 1 or jnp.ndim(p.matrix_gain) != 2:
+        raise ValueError(
+            "MXU chain requires homogeneous params (xf [3], matrix_gain "
+            "[2, nout]); per-stream parameters must use the scan path")
+
+
 def _make_a_step(static, p, ch, ch_bands):
     from .pipeline import _band_step_f32, _svf_general_f32
 
@@ -291,6 +306,7 @@ def chain_a(static, p, st, bl, br, master_bands, Npkt):
     """Apply loudness + master EQ to both channels as per-packet matmuls.
 
     bl/br: [Ttot, B] post-preamp samples.  Returns (st', bl', br')."""
+    _check_homogeneous(p)
     layout = _sched_layout(static, Npkt)
     Tmax = layout.tmax
     outs = [bl, br]
@@ -421,6 +437,7 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
 
     Returns (st', bufs): nout [Ttot, B] arrays — the same values PASS 3-5
     of the scan path produces, to matmul rounding."""
+    _check_homogeneous(p)
     nout = static.n_outputs
     layout = _sched_layout(static, Npkt)
     sched, Tmax, uniform = layout.sched, layout.tmax, layout.uniform

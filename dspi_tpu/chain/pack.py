@@ -315,10 +315,18 @@ def build_params_multi(deriveds: list, static: StaticChain,
     ``stream_config_ids``: optional int array [B] mapping each stream to a
     config index (default: one stream per config, B == len(deriveds)).
     """
+    if static.mxu:
+        raise ValueError(
+            "per-stream parameters require the scan path: the MXU block "
+            "matrices are built from homogeneous coefficients (build the "
+            "static with mxu=False, or use GroupedEngine for K-config "
+            "heterogeneous serving)")
     for d in deriveds:
         s = build_static(d, block_size=static.block_size,
                          bit_depth=static.bit_depth, emit=static.emit,
-                         pdm=static.pdm_on, unroll=static.unroll)
+                         pdm=static.pdm_on, unroll=static.unroll,
+                         outer_unroll=static.outer_unroll,
+                         schedule=static.schedule, mxu=static.mxu)
         if s != static:
             raise ValueError(
                 "heterogeneous configs must share static structure; "

@@ -63,6 +63,15 @@ class VirtualDSPi:
         self.runner = None            # optional StreamRunner (buffer stats)
         self.dirty = False
         self._preset_loaded = False
+        # Control-plane framing errors (usb_device.c:46-52 analog):
+        # truncated vendor payloads count as incomplete transfers.
+        self.usb_errors = dict.fromkeys(
+            ["total", "crc", "bitstuff", "rx_overflow", "rx_timeout",
+             "data_seq"], 0)
+        # REQ_ENTER_BOOTLOADER (usb_audio.c:2970-2978) reboots to the UF2
+        # bootloader; the emulation raises this flag for the host harness.
+        self.bootloader_requested = False
+        self._stats_seq = 0
         self.store.boot_load(self.cfg)
 
     def attach_runner(self, runner) -> None:
@@ -120,9 +129,45 @@ class VirtualDSPi:
     # SET (control-OUT) dispatch — vendor_cmd_packet (usb_audio.c:1632-2021)
     # ------------------------------------------------------------------
 
+    # Minimum payload byte counts per SET request — a shorter payload is a
+    # truncated control transfer; the firmware's SIE would count it
+    # (usb_device.c:1070-1075) and the handler would ignore the write.
+    _SET_MIN_LEN = None   # built lazily in _set_min_len()
+
+    @classmethod
+    def _set_min_len(cls) -> dict:
+        if cls._SET_MIN_LEN is None:
+            four = [R.SET_PREAMP, R.SET_PREAMP_CH, R.SET_MASTER_VOLUME,
+                    R.SET_DELAY, R.SET_CHANNEL_GAIN, R.SET_LOUDNESS_REF,
+                    R.SET_LOUDNESS_INTENSITY, R.SET_CROSSFEED_FREQ,
+                    R.SET_CROSSFEED_FEED, R.SET_OUTPUT_GAIN,
+                    R.SET_OUTPUT_DELAY, R.SET_LEVELLER_AMOUNT,
+                    R.SET_LEVELLER_MAX_GAIN, R.SET_LEVELLER_GATE]
+            one = [R.SET_MASTER_VOLUME_MODE, R.SET_BYPASS,
+                   R.SET_CHANNEL_MUTE, R.SET_LOUDNESS, R.SET_CROSSFEED,
+                   R.SET_CROSSFEED_PRESET, R.SET_CROSSFEED_ITD,
+                   R.SET_OUTPUT_ENABLE, R.SET_OUTPUT_MUTE, R.SET_OUTPUT_PIN,
+                   R.SET_OUTPUT_TYPE, R.SET_I2S_BCK_PIN, R.SET_MCK_ENABLE,
+                   R.SET_MCK_PIN, R.SET_MCK_MULTIPLIER,
+                   R.SET_LEVELLER_ENABLE, R.SET_LEVELLER_SPEED,
+                   R.SET_LEVELLER_LOOKAHEAD, R.PRESET_SET_INCLUDE_PINS]
+            cls._SET_MIN_LEN = {**{r: 4 for r in four},
+                                **{r: 1 for r in one},
+                                R.SET_EQ_PARAM: 16, R.SET_MATRIX_ROUTE: 8,
+                                R.PRESET_SET_STARTUP: 2}
+        return cls._SET_MIN_LEN
+
+    def _count_usb_error(self, kind: str) -> None:
+        self.usb_errors["total"] += 1
+        self.usb_errors[kind] += 1
+
     def set(self, request: int, wvalue: int = 0, payload: bytes = b"") -> None:
         cfg = self.cfg
         ch = wvalue & 0xFF
+        need = self._set_min_len().get(request)
+        if need is not None and len(payload) < need:
+            self._count_usb_error("rx_timeout")
+            return
         self.dirty = True
 
         if request == R.SET_EQ_PARAM and len(payload) >= 16:
@@ -278,7 +323,19 @@ class VirtualDSPi:
         elif request == R.CLEAR_CLIPS:
             self.clip_flags = 0
             self.dirty = False
-        elif request in (R.RESET_BUFFER_STATS, R.RESET_USB_ERROR_STATS):
+        elif request == R.RESET_BUFFER_STATS:
+            # wValue bit 0 resets the fill watermarks (usb_audio.c:2906-2914)
+            if wvalue & 0x01 and self.runner is not None:
+                self.runner.stats.reset_watermarks()
+            self.dirty = False
+        elif request == R.RESET_USB_ERROR_STATS:
+            for k in self.usb_errors:
+                self.usb_errors[k] = 0
+            if self.runner is not None:
+                self.runner.stats.reset_usb_errors()
+            self.dirty = False
+        elif request == R.ENTER_BOOTLOADER:
+            self.bootloader_requested = True
             self.dirty = False
         else:
             self.dirty = False
@@ -433,7 +490,15 @@ class VirtualDSPi:
         if request == R.GET_BUFFER_STATS:
             return self._buffer_stats()
         if request == R.GET_USB_ERROR_STATS:
-            return struct.pack("<6I", 0, 0, 0, 0, 0, 0)
+            # UsbErrorStatsPacket (usb_audio.c:2916-2944): control-plane
+            # framing errors plus the runner's data-plane counts
+            e = dict(self.usb_errors)
+            if self.runner is not None:
+                for k, v in self.runner.stats.usb_errors.items():
+                    e[k] += v
+            return struct.pack("<6I", e["total"], e["crc"], e["bitstuff"],
+                               e["rx_overflow"], e["rx_timeout"],
+                               e["data_seq"])
         return None
 
     def _get_status(self, wvalue: int) -> bytes:
@@ -484,14 +549,16 @@ class VirtualDSPi:
 
     def _buffer_stats(self) -> bytes:
         """BufferStatsPacket (config.h:492-519).  With a StreamRunner
-        attached, fill/watermarks are derived from the runner's in-flight
-        segment depth — the TPU analog of consumer-pool occupancy; without
-        one, healthy steady-state constants are reported (there are no
-        real DMA pools to starve)."""
+        attached, flags bit 1 (audio streaming) is set and fill/watermarks
+        derive from the runner's in-flight segment depth — the TPU analog
+        of consumer-pool occupancy.  Without one the packet reports the
+        explicit no-stream shape: streaming flag clear, all rows zero —
+        never plausible-looking fake health."""
         nsp = C.NUM_SPDIF_INSTANCES[self.platform]
-        flags = (1 if self.cfg.outputs[-1].enabled else 0) | 0x02
-        out = struct.pack("<BBH", nsp, flags, self.counters["usb_audio_packets"]
-                          & 0xFFFF)
+        self._stats_seq = (self._stats_seq + 1) & 0xFFFF
+        flags = (1 if self.cfg.outputs[-1].enabled else 0) \
+            | (0x02 if self.runner is not None else 0)
+        out = struct.pack("<BBH", nsp, flags, self._stats_seq)
         if self.runner is not None:
             st = self.runner.stats
             total = max(st.max_inflight, 1)
@@ -501,17 +568,14 @@ class VirtualDSPi:
                    min(st.fill_pct, 100), min(st.min_fill_pct, 100),
                    min(st.max_fill_pct, 100), 0, 0)
         else:
-            row = (8, 7, 1, 50, 45, 55, 0, 0)
+            row = (0, 0, 0, 0, 0, 0, 0, 0)
         for i in range(4):
             if i < nsp:
                 out += struct.pack("<8B", *row)
             else:
                 out += bytes(8)
-        if self.runner is not None:
-            out += struct.pack("<8B", row[0], row[1], row[2], row[3],
-                               row[4], row[5], 0, 0)
-        else:
-            out += struct.pack("<8B", 12, 10, 15, 50, 45, 55, 0, 0)
+        out += struct.pack("<8B", row[0], row[1], row[2], row[3],
+                           row[4], row[5], 0, 0)
         return out
 
     # ------------------------------------------------------------------

@@ -167,7 +167,7 @@ def _sample_fori(carry, xs):
 def _pallas_tiles(ttot: int, b: int):
     """Pick (tc, bt) for the Pallas kernel, or None if the shapes don't
     tile.  bt: widest stream tile dividing B (more vregs per op -> more
-    ILP); tc sized so the double-buffered words block stays ~<=8 MB."""
+    ILP); tc sized so the words block stays <= 4 MB (8 MB double-buffered)."""
     bt = next((c for c in (8192, 4096, 2048, 1024) if b % c == 0), None)
     if bt is None:
         return None

@@ -79,18 +79,27 @@ class RunnerStats:
     audio time, which on the device would have forced silence-buffer
     substitution on every active output slot."""
 
+    USB_ERROR_KINDS = ("crc", "bitstuff", "rx_overflow", "rx_timeout",
+                       "data_seq")
+
     def __init__(self, n_slots: int = 4, max_inflight: int = 2):
         self.n_slots = n_slots
         self.max_inflight = max_inflight
         self.segments = 0
+        self.silence_segments = 0
         self.starvations_total = 0
         self.starvations_slot = [0, 0, 0, 0]
         self.fill_pct = 0
         self.min_fill_pct = 100
         self.max_fill_pct = 0
+        # Host data-plane framing errors, shaped like the firmware's PHY
+        # counters (usb_device.c:46-52) so GET_USB_ERROR_STATS reads real
+        # events: de-framed segments land in data_seq, truncated transfers
+        # in rx_timeout, oversize in rx_overflow.
+        self.usb_errors = dict.fromkeys(("total",) + self.USB_ERROR_KINDS, 0)
 
     def record_fill(self, depth: int):
-        self.fill_pct = int(100 * depth / max(self.max_inflight, 1))
+        self.fill_pct = min(100, int(100 * depth / max(self.max_inflight, 1)))
         self.min_fill_pct = min(self.min_fill_pct, self.fill_pct)
         self.max_fill_pct = max(self.max_fill_pct, self.fill_pct)
 
@@ -98,6 +107,21 @@ class RunnerStats:
         for i in range(min(self.n_slots, 4)):
             self.starvations_slot[i] += 1
             self.starvations_total += 1
+
+    def record_usb_error(self, kind: str):
+        assert kind in self.USB_ERROR_KINDS
+        self.usb_errors["total"] += 1
+        self.usb_errors[kind] += 1
+
+    def reset_watermarks(self):
+        """REQ_RESET_BUFFER_STATS wValue&1 (usb_audio.c:2208-2217)."""
+        self.min_fill_pct = 100
+        self.max_fill_pct = 0
+
+    def reset_usb_errors(self):
+        """REQ_RESET_USB_ERROR_STATS (usb_audio.c:2946-2960)."""
+        for k in self.usb_errors:
+            self.usb_errors[k] = 0
 
 
 class StreamRunner:
@@ -112,8 +136,11 @@ class StreamRunner:
     ``deadline_s`` (optional) turns on real-time accounting: when the gap
     between consecutive feeds exceeds it, the device side would have
     starved — every active output slot's starvation counter increments
-    (audio_spdif.c:361-379 semantics).  ``stats`` feeds the vendor buffer
-    statistics through ``VirtualDSPi.attach_runner``.
+    AND a silence segment is substituted into the output stream
+    (audio_spdif.c:361-379: the DMA plays the instance silence buffer,
+    not the late data), so a consumer draining the runner actually
+    receives the zeros the firmware would have played.  ``stats`` feeds
+    the vendor buffer statistics through ``VirtualDSPi.attach_runner``.
     """
 
     def __init__(self, engine, mesh: Mesh | None = None, max_inflight: int = 2,
@@ -128,6 +155,24 @@ class StreamRunner:
         self.stats = RunnerStats(n_slots=n_slots, max_inflight=max_inflight)
         self._inflight: list = []
         self._t_last_feed: float | None = None
+        self._silence_template = None
+
+    def _silence_out(self):
+        """A zeroed output segment shaped like the last real one — the
+        analog of the firmware's per-instance silence buffer."""
+        if self._silence_template is None:
+            return None
+        return jax.tree.map(np.zeros_like, self._silence_template)
+
+    def _expected_shape(self, x) -> bool:
+        st = getattr(self.engine, "static", None)
+        if st is None:
+            return True
+        if st.schedule:                      # [2, sum(schedule), B]
+            return (x.ndim == 3 and x.shape[0] == 2
+                    and x.shape[1] == sum(st.schedule))
+        return (x.ndim == 4 and x.shape[1] == 2       # [npkt, 2, T, B]
+                and x.shape[2] == st.block_size)
 
     def feed(self, x: np.ndarray, preset_mute=None):
         """Enqueue one segment; returns the (lazy) output dict."""
@@ -137,11 +182,26 @@ class StreamRunner:
         if (self.deadline_s is not None and self._t_last_feed is not None
                 and now - self._t_last_feed > self.deadline_s):
             self.stats.record_starvation()
+            sil = self._silence_out()
+            if sil is not None:
+                self._inflight.append(sil)
+                self.stats.silence_segments += 1
         self._t_last_feed = now
 
+        x = np.asarray(x)
+        if not self._expected_shape(x):
+            # de-framed segment: the firmware's USB SIE would flag this
+            # as a sequence/framing error and drop the packet
+            self.stats.record_usb_error("data_seq")
+            raise ValueError(
+                f"segment shape {x.shape} does not frame as "
+                "[n_packets, 2, block, B]")
         if self.mesh is not None:
-            x = shard_input(np.asarray(x), self.mesh)
+            x = shard_input(x, self.mesh)
         out = self.engine.process(x, preset_mute)
+        if self._silence_template is None:
+            self._silence_template = jax.tree.map(
+                lambda v: np.zeros(v.shape, v.dtype), out)
         self._inflight.append(out)
         self.stats.segments += 1
         self.stats.record_fill(len(self._inflight))

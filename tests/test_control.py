@@ -230,3 +230,101 @@ def test_runner_stats_feed_status_surface(dev):
     assert nsp >= 1
     assert hi >= fill >= lo                       # real watermarks
     assert runner.stats.max_fill_pct == hi
+
+
+def test_no_stream_buffer_stats_shape(dev):
+    """Without a runner the packet must report the explicit no-stream
+    shape — streaming flag clear, zero rows — not fake healthy
+    constants (round-1 VERDICT weak #5)."""
+    stats = dev.get(R.GET_BUFFER_STATS)
+    nsp, flags, seq1 = struct.unpack_from("<BBH", stats, 0)
+    assert not (flags & 0x02)                     # audio-streaming bit clear
+    assert set(stats[4:]) == {0}                  # all rows zero
+    # sequence is monotonic (config.h:507 BufferStatsPacket.sequence)
+    _, _, seq2 = struct.unpack_from("<BBH", dev.get(R.GET_BUFFER_STATS), 0)
+    assert seq2 == (seq1 + 1) & 0xFFFF
+
+
+def test_reset_buffer_stats_clears_watermarks(dev):
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.runtime.executor import StreamRunner
+
+    eng = Engine(dev.cfg, n_streams=4, pdm=False, unroll=2, emit="reduced")
+    runner = StreamRunner(eng, max_inflight=2)
+    dev.attach_runner(runner)
+    x = np.zeros((2, 2, 48, 4), np.int32)
+    runner.feed(x)
+    runner.feed(x)
+    runner.drain()
+    assert runner.stats.max_fill_pct > 0
+
+    dev.set(R.RESET_BUFFER_STATS, 0x01)           # wValue bit 0 = watermarks
+    assert not dev.dirty
+    assert runner.stats.min_fill_pct == 100
+    assert runner.stats.max_fill_pct == 0
+
+
+def test_usb_error_stats_live_and_reset(dev):
+    # truncated control transfer counts as an incomplete transfer
+    dev.set(R.SET_MASTER_VOLUME, 0, b"\x01\x02")  # needs 4 bytes
+    dev.set(R.SET_EQ_PARAM, 0, b"short")
+    total, crc, bitstuff, ovf, timeout, seq = struct.unpack(
+        "<6I", dev.get(R.GET_USB_ERROR_STATS))
+    assert (total, timeout) == (2, 2)
+    assert crc == bitstuff == ovf == seq == 0
+    # a truncated write must not dirty the config or change the value
+    assert struct.unpack("<f", dev.get(R.GET_MASTER_VOLUME))[0] == \
+        pytest.approx(dev.cfg.master_volume_db)
+
+    # de-framed data-plane segment feeds data_seq via the runner
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.runtime.executor import StreamRunner
+
+    eng = Engine(dev.cfg, n_streams=4, pdm=False, unroll=2, emit="reduced")
+    runner = StreamRunner(eng, max_inflight=2)
+    dev.attach_runner(runner)
+    with pytest.raises(ValueError):
+        runner.feed(np.zeros((2, 3, 48, 4), np.int32))   # 3 != stereo
+    total, _, _, _, timeout, seq = struct.unpack(
+        "<6I", dev.get(R.GET_USB_ERROR_STATS))
+    assert (total, timeout, seq) == (3, 2, 1)
+
+    dev.set(R.RESET_USB_ERROR_STATS)
+    assert not dev.dirty
+    assert dev.get(R.GET_USB_ERROR_STATS) == bytes(24)
+
+
+def test_silence_substitution_on_starvation(dev):
+    """A missed feed deadline substitutes a zeroed segment into the output
+    stream (audio_spdif.c:361-379), not just a counter bump."""
+    import time
+
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.runtime.executor import StreamRunner
+
+    eng = Engine(dev.cfg, n_streams=4, pdm=False, unroll=2)
+    runner = StreamRunner(eng, max_inflight=8, deadline_s=0.003)
+    x = np.full((3, 2, 48, 4), 12000, np.int32)
+
+    runner.feed(x)
+    time.sleep(0.02)
+    runner.feed(x)
+    outs = list(runner._inflight)
+    runner.drain()
+
+    assert runner.stats.silence_segments == 1
+    assert runner.stats.starvations_total >= 1
+    assert len(outs) == 3                         # real, silence, real
+    sil = outs[1]
+    assert all(np.abs(np.asarray(v)).max() == 0 for v in sil.values())
+    # shapes mirror a real segment's outputs
+    real = outs[0]
+    assert {k: np.shape(v) for k, v in sil.items()} == \
+        {k: np.shape(v) for k, v in real.items()}
+    assert np.abs(np.asarray(real["out"])).max() > 0
+
+
+def test_enter_bootloader_flag(dev):
+    assert not dev.bootloader_requested
+    dev.set(R.ENTER_BOOTLOADER)
+    assert dev.bootloader_requested and not dev.dirty
