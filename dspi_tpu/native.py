@@ -324,6 +324,137 @@ class FirmwareFloat:
             pass
 
 
+def _bind_fwq(lib):
+    if getattr(lib, "_fwq_bound", False):
+        return
+    import ctypes as ct
+
+    f32p = ct.POINTER(ct.c_float)
+    i32p = ct.POINTER(ct.c_int32)
+    u8p = ct.POINTER(ct.c_uint8)
+    u32p = ct.POINTER(ct.c_uint32)
+    lib.dspi_fwq_new.restype = ct.c_void_p
+    lib.dspi_fwq_new.argtypes = [ct.c_float] + [ct.c_int] * 4
+    lib.dspi_fwq_free.argtypes = [ct.c_void_p]
+    lib.dspi_fwq_set_eq.argtypes = [ct.c_void_p, i32p, i32p, ct.c_int, u8p]
+    lib.dspi_fwq_set_loudness.argtypes = [ct.c_void_p, ct.c_int, i32p, i32p]
+    lib.dspi_fwq_set_gains.argtypes = [ct.c_void_p, i32p, ct.c_int, ct.c_int,
+                                       ct.c_int, i32p, f32p, u8p, u8p, i32p]
+    lib.dspi_fwq_set_leveller_raw.argtypes = \
+        [ct.c_void_p, ct.c_int, ct.c_int] + [ct.c_float] * 9
+    lib.dspi_fwq_set_crossfeed.argtypes = [ct.c_void_p, ct.c_int,
+                                           ct.c_int32, ct.c_int32,
+                                           ct.c_int32]
+    lib.dspi_fwq_enable_pdm.argtypes = [ct.c_void_p, ct.c_int, ct.c_int]
+    lib.dspi_fwq_process.argtypes = [ct.c_void_p, i32p, ct.c_int, ct.c_int,
+                                     ct.c_int, f32p, i32p, u32p]
+    lib._fwq_bound = True
+
+
+class FirmwareQ28:
+    """The FULL RP2040 Q28 chain with the firmware's exact arithmetic:
+    integer Q28/Q15 signal path, *libm* log10f/powf and hardware float
+    division in the leveller's gain computer and limiter
+    (leveller.c:264-389).  The measured side of the "Q28 path bit-exact"
+    gate — unlike the golden twin, this does NOT share the repo's
+    deterministic fmath, so a libm-ulp-induced Q28 gain LSB flip shows up
+    as a word difference (tests/test_fw_oracle.py reports the rate).
+
+    Coefficients are the same quantized integers ChainParams carries, so
+    the comparison isolates the runtime signal path."""
+
+    def __init__(self, cfg, pdm: bool = True, pdm_fade: bool = True):
+        from .chain.pack import build_params, build_static
+        from .core import constants as C
+        from .params.design import derive
+
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        _bind_fwq(lib)
+        self._lib = lib
+        d = derive(cfg)
+        static = build_static(d, block_size=48)
+        assert not static.is_float, "FirmwareQ28 is the RP2040 oracle"
+        params = build_params(d, static)
+        nch, nb = static.n_channels, params.eq_q28.shape[1]
+        nout = static.n_outputs
+        self.nout = nout
+        self._p = lib.dspi_fwq_new(float(cfg.sample_rate), nout,
+                                   static.n_spdif, nch, nb)
+
+        kinds = np.zeros((nch, nb), np.int32)
+        for ch in range(nch):
+            for b, k in enumerate(static.band_kinds[ch]):
+                kinds[ch, b] = k
+        coef = np.ascontiguousarray(params.eq_q28, np.int32)
+        chb = np.array(static.channel_bypassed, np.uint8)
+        _, chb_p = _u8arr(chb)
+        lib.dspi_fwq_set_eq(self._p, _i32p(kinds), _i32p(coef),
+                            int(static.bypass_master_eq), chb_p)
+
+        if static.loudness_on:
+            lc = np.ascontiguousarray(params.loud_qbq, np.int32)
+            lb = np.ascontiguousarray(params.loud_bypass, np.int32)
+            lib.dspi_fwq_set_loudness(self._p, 1, _i32p(lc), _i32p(lb))
+
+        g = d.gains
+        pre = np.ascontiguousarray(params.unpack_gain, np.int32)
+        mat = np.ascontiguousarray(params.matrix_gain, np.int32)
+        og = np.ascontiguousarray(params.out_gain, np.float32)
+        out_en = np.array(g.output_enabled, np.uint8)
+        out_mute = np.array(g.output_mute, np.uint8)
+        _, en_p = _u8arr(out_en)
+        _, mu_p = _u8arr(out_mute)
+        mask = C.MAX_DELAY_SAMPLES[cfg.platform] - 1
+        dly = np.array([int(s) & mask for s in g.delay_samples], np.int32)
+        lib.dspi_fwq_set_gains(
+            self._p, _i32p(pre), int(g.master_volume_q15),
+            int(g.host_vol_mul), int(bool(cfg.host_mute)), _i32p(mat),
+            _f32p(og), en_p, mu_p, _i32p(dly))
+
+        lv = d.leveller
+        lib.dspi_fwq_set_leveller_raw(
+            self._p, int(cfg.leveller.enabled), int(cfg.leveller.lookahead),
+            float(lv.alpha_rms), float(lv.alpha_attack),
+            float(lv.alpha_release), float(lv.threshold_db),
+            float(lv.knee_width_db), float(lv.gate_threshold_db),
+            float(lv.ratio), float(lv.max_gain_db), float(lv.makeup_db))
+
+        if d.crossfeed.enabled:
+            xf = np.asarray(params.xf, np.int32)
+            lib.dspi_fwq_set_crossfeed(self._p, 1, int(xf[0]), int(xf[1]),
+                                       int(xf[2]))
+
+        self.pdm_on = bool(pdm and g.output_enabled[nout - 1])
+        lib.dspi_fwq_enable_pdm(self._p, int(self.pdm_on), int(pdm_fade))
+
+    def process(self, x: np.ndarray, bit_depth: int = 16,
+                preset_mute: np.ndarray | None = None):
+        """x: int32 [npkt, 2, T] one stream.  Returns (out int32 Q28
+        [npkt, nout, T], pdm_words uint32 [npkt*T, 8] or None)."""
+        import ctypes as ct
+
+        npkt, _, T = x.shape
+        x = np.ascontiguousarray(x, np.int32)
+        out = np.empty((npkt, self.nout, T), np.int32)
+        words = (np.empty((npkt * T, 8), np.uint32) if self.pdm_on else None)
+        wp = (words.ctypes.data_as(ct.POINTER(ct.c_uint32))
+              if words is not None else None)
+        pm = (np.ascontiguousarray(preset_mute, np.float32)
+              if preset_mute is not None else None)
+        self._lib.dspi_fwq_process(
+            self._p, _i32p(x), npkt, T, int(bit_depth == 24),
+            _f32p(pm) if pm is not None else None, _i32p(out), wp)
+        return out, words
+
+    def __del__(self):
+        try:
+            self._lib.dspi_fwq_free(self._p)
+        except Exception:
+            pass
+
+
 def fw_db_to_linear(db: float) -> float:
     lib = _load()
     _bind_fw(lib)

@@ -873,3 +873,493 @@ API float dspi_fw_db_to_linear(float db) { return fwf::db_to_linear(db); }
 API float dspi_fw_compute_alpha(float rate, float t) {
     return fwf::compute_alpha(rate, t);
 }
+
+// ===========================================================================
+// Firmware-Q28 oracle: the FULL RP2040 fixed-point packet chain with the
+// firmware's exact arithmetic — Q28/Q15 integer signal path everywhere, and
+// *libm floats with hardware division* in the leveller's once-per-block gain
+// computer and per-sample limiter (leveller.c:264-389).  This is the piece
+// round 1 lacked: the repo's Q28 device path was proven bit-exact only
+// against a golden twin sharing deterministic fmath; a 1-ulp libm difference
+// in log10f/powf can flip the quantized Q28 gain LSB.  This oracle makes the
+// Q28 word-flip rate a measurement (tests/test_fw_oracle.py).
+// One stream, sample-sequential — an oracle, not a data plane.
+// Semantics: usb_audio.c:968-1283 (single-core ordering; the EQ-worker
+// split is value-identical), leveller.c:264-389, crossfeed.c:158-180,
+// dsp_process_rp2040.S:225-394, pdm_generator.c:349-397.
+// ===========================================================================
+
+namespace fwq {
+
+constexpr int MAXCH = 8;                    // RP2040: 7 channels
+constexpr int MAXB = 16;
+constexpr int DELAY_MASK = 2047;            // config.h:87 (RP2040: 2048)
+constexpr int LA_SAMPLES = 480;             // leveller.h:34
+constexpr float LIMITER_CEIL = 0.70795f;    // leveller.h:53 (-3 dBFS)
+
+struct FwQ28 {
+    float rate;
+    int nout, nspdif, nch, nb;
+    // EQ (master channels 0-1, per-output channels 2..): TDF2 cascades
+    int32_t kinds[MAXCH][MAXB];             // 0 = skip, nonzero = active
+    int32_t coef[MAXCH][MAXB][5];           // b0,b1,b2,a1,a2 Q28
+    int32_t eq_s1[MAXCH][MAXB], eq_s2[MAXCH][MAXB];
+    int bypass_master;
+    uint8_t ch_bypassed[MAXCH];
+    // loudness (usb_audio.c:1017-1046)
+    int loud_on;
+    int32_t loud_c[2][5];
+    int32_t loud_byp[2];
+    int32_t loud_s1[2][2], loud_s2[2][2];   // [ch 0/1][biquad j]
+    // gains
+    int32_t preamp_q28[2];
+    int32_t master_vol_q15;
+    int32_t host_vol_q15;
+    int host_mute;
+    int32_t matrix_q15[2][MAXCH];           // signed Q15, 0 when disabled
+    uint8_t out_en[MAXCH], out_mute[MAXCH];
+    float out_gain_lin[MAXCH];
+    int32_t delay_samples[MAXCH];
+    int32_t* delay_lines;                   // [nout][DELAY_MASK+1]
+    uint32_t delay_widx;
+    // leveller (leveller.c RP2040 branch)
+    int lev_on, lev_lookahead;
+    float alpha_rms, alpha_attack, alpha_release;
+    float threshold_db, knee_db, gate_db, ratio, max_gain_db, makeup_db;
+    int32_t env_l, env_r;
+    float gain_smooth_db;
+    int32_t gain_q28, gain_prev_q28;
+    int32_t la_buf[2][LA_SAMPLES];
+    uint32_t la_idx;
+    // crossfeed (Q28)
+    int xf_on;
+    int32_t lp_a0, lp_b1, ap_a;
+    int32_t lp_L, lp_R, ap_L, ap_R;
+    // PDM modulator (9-word state shared with dspi_pdm_block)
+    int pdm_on;
+    int32_t pdm_state[9];
+};
+
+// Saturating float->int32, the conversion the firmware actually performs:
+// the RP2040 bootrom/AEABI float-to-int routines saturate out-of-range
+// values, as does the RP2350 FPU's VCVT — unlike x86 cvttss2si (INT_MIN).
+// Matters in the limiter: ceil/peak for quiet signals overflows Q28.
+static inline int32_t f2i_sat(float x) {
+    if (x >= 2147483648.0f) return INT32_MAX;
+    if (x < -2147483648.0f) return INT32_MIN;
+    return (int32_t)x;
+}
+
+// dsp_process_channel_block (dsp_process_rp2040.S:225-394): band-major TDF2
+// cascade over the enabled bands of one channel.
+static void eq_block(FwQ28* p, int ch, int32_t* samples, int count) {
+    for (int band = 0; band < p->nb; band++) {
+        if (p->kinds[ch][band] == 0) continue;
+        const int32_t* c = p->coef[ch][band];
+        int32_t s1 = p->eq_s1[ch][band], s2 = p->eq_s2[ch][band];
+        for (int i = 0; i < count; i++) {
+            int32_t x = samples[i];
+            int32_t y = wrap_add(dspi_q28_mul(c[0], x), s1);
+            s1 = wrap_add(wrap_sub(dspi_q28_mul(c[1], x),
+                                   dspi_q28_mul(c[3], y)), s2);
+            s2 = wrap_sub(dspi_q28_mul(c[2], x), dspi_q28_mul(c[4], y));
+            samples[i] = y;
+        }
+        p->eq_s1[ch][band] = s1;
+        p->eq_s2[ch][band] = s2;
+    }
+}
+
+// leveller.c:275-389 verbatim: Q28 envelopes and gain application, float
+// gain computer with libm log10f/powf, int64 gain interpolation, float
+// division in the per-sample limiter.
+static void leveller_block(FwQ28* p, int32_t* buf_l, int32_t* buf_r,
+                           int count) {
+    if (count == 0) return;
+
+    int32_t a_rms_q28 = (int32_t)(p->alpha_rms * (float)(1 << 28));
+    int32_t one_minus_a_q28 = (1 << 28) - a_rms_q28;
+    int32_t env_l = p->env_l, env_r = p->env_r;
+    for (int i = 0; i < count; i++) {
+        int32_t sl = buf_l[i], sr = buf_r[i];
+        int32_t sq_l = dspi_q28_mul(sl, sl);
+        int32_t sq_r = dspi_q28_mul(sr, sr);
+        env_l = wrap_add(dspi_q28_mul(a_rms_q28, env_l),
+                         dspi_q28_mul(one_minus_a_q28, sq_l));
+        env_r = wrap_add(dspi_q28_mul(a_rms_q28, env_r),
+                         dspi_q28_mul(one_minus_a_q28, sq_r));
+    }
+    p->env_l = env_l;
+    p->env_r = env_r;
+
+    // per-block float gain computation (libm)
+    const float inv_q28 = 1.0f / (float)(1 << 28);
+    float env_l_f = (float)env_l * inv_q28;
+    float env_r_f = (float)env_r * inv_q28;
+    float rms_sq = (env_l_f > env_r_f) ? env_l_f : env_r_f;
+    float rms_db = 10.0f * log10f(rms_sq + 1e-30f);
+
+    float gc_db;
+    if (rms_db < p->gate_db) {
+        gc_db = 0.0f;
+    } else {
+        gc_db = fwf::gain_computer(rms_db, p->threshold_db, p->ratio,
+                                   p->knee_db);
+        gc_db += p->makeup_db;
+        if (gc_db > p->max_gain_db) gc_db = p->max_gain_db;
+    }
+
+    float alpha_sample = (gc_db < p->gain_smooth_db) ? p->alpha_attack
+                                                     : p->alpha_release;
+    float alpha = powf(alpha_sample, (float)count);
+    p->gain_smooth_db = alpha * p->gain_smooth_db + (1.0f - alpha) * gc_db;
+
+    float gain_linear = powf(10.0f, p->gain_smooth_db / 20.0f);
+    p->gain_prev_q28 = p->gain_q28;
+    p->gain_q28 = f2i_sat(gain_linear * (float)(1 << 28));
+
+    int32_t g_prev = p->gain_prev_q28;
+    int32_t g_cur = p->gain_q28;
+    const int32_t unity_q28 = (1 << 28);
+    const float ceilv = LIMITER_CEIL;
+    bool use_la = p->lev_lookahead;
+    uint32_t la_idx = p->la_idx;
+
+    for (int i = 0; i < count; i++) {
+        int32_t gain;
+        if (count == 1) {
+            gain = g_cur;
+        } else {
+            gain = wrap_add(g_prev,
+                            (int32_t)(((int64_t)wrap_sub(g_cur, g_prev) * i)
+                                      / (int32_t)(count - 1)));
+        }
+
+        int32_t out_l, out_r;
+        if (use_la) {
+            out_l = p->la_buf[0][la_idx];
+            out_r = p->la_buf[1][la_idx];
+            p->la_buf[0][la_idx] = buf_l[i];
+            p->la_buf[1][la_idx] = buf_r[i];
+            la_idx++;
+            if (la_idx >= LA_SAMPLES) la_idx = 0;
+        } else {
+            out_l = buf_l[i];
+            out_r = buf_r[i];
+        }
+
+        if (gain > unity_q28) {
+            float peak = fabsf((float)out_l * inv_q28);
+            float pr = fabsf((float)out_r * inv_q28);
+            if (pr > peak) peak = pr;
+            if (peak > 0.0f) {
+                float max_g_f = ceilv / peak;
+                int32_t max_g_q28 = f2i_sat(max_g_f * (float)unity_q28);
+                if (max_g_q28 < gain)
+                    gain = (max_g_q28 > unity_q28) ? max_g_q28 : unity_q28;
+            }
+        }
+
+        buf_l[i] = dspi_q28_mul(out_l, gain);
+        buf_r[i] = dspi_q28_mul(out_r, gain);
+    }
+    p->la_idx = la_idx;
+}
+
+// crossfeed.c:161-180 (Q28)
+static inline void crossfeed_stereo(FwQ28* p, int32_t* left, int32_t* right) {
+    int32_t in_L = *left, in_R = *right;
+    int32_t lp_out_L = wrap_add(dspi_q28_mul(p->lp_a0, in_L),
+                                dspi_q28_mul(p->lp_b1, p->lp_L));
+    int32_t lp_out_R = wrap_add(dspi_q28_mul(p->lp_a0, in_R),
+                                dspi_q28_mul(p->lp_b1, p->lp_R));
+    p->lp_L = lp_out_L;
+    p->lp_R = lp_out_R;
+    int32_t ap_out_L = wrap_add(dspi_q28_mul(p->ap_a, lp_out_L), p->ap_L);
+    p->ap_L = wrap_sub(lp_out_L, dspi_q28_mul(p->ap_a, ap_out_L));
+    int32_t ap_out_R = wrap_add(dspi_q28_mul(p->ap_a, lp_out_R), p->ap_R);
+    p->ap_R = wrap_sub(lp_out_R, dspi_q28_mul(p->ap_a, ap_out_R));
+    *left = wrap_add(wrap_sub(in_L, lp_out_L), ap_out_R);
+    *right = wrap_add(wrap_sub(in_R, lp_out_R), ap_out_L);
+}
+
+}  // namespace fwq
+
+using fwq::FwQ28;
+
+API FwQ28* dspi_fwq_new(float rate, int nout, int nspdif, int nch, int nb) {
+    FwQ28* p = (FwQ28*)calloc(1, sizeof(FwQ28));
+    p->rate = rate;
+    p->nout = nout;
+    p->nspdif = nspdif;
+    p->nch = nch;
+    p->nb = nb;
+    p->delay_lines =
+        (int32_t*)calloc((size_t)nout * (fwq::DELAY_MASK + 1),
+                         sizeof(int32_t));
+    p->master_vol_q15 = 32768;
+    p->host_vol_q15 = 32768;
+    p->gain_q28 = (1 << 28);
+    p->gain_prev_q28 = (1 << 28);
+    p->preamp_q28[0] = p->preamp_q28[1] = (1 << 28);
+    return p;
+}
+
+API void dspi_fwq_free(FwQ28* p) {
+    if (p) {
+        free(p->delay_lines);
+        free(p);
+    }
+}
+
+API void dspi_fwq_set_eq(FwQ28* p, const int32_t* kinds, const int32_t* coef,
+                         int bypass_master, const uint8_t* ch_bypassed) {
+    for (int ch = 0; ch < p->nch; ch++) {
+        p->ch_bypassed[ch] = ch_bypassed[ch];
+        for (int b = 0; b < p->nb; b++) {
+            p->kinds[ch][b] = kinds[ch * p->nb + b];
+            memcpy(p->coef[ch][b], coef + (ch * p->nb + b) * 5,
+                   5 * sizeof(int32_t));
+        }
+    }
+    p->bypass_master = bypass_master;
+}
+
+API void dspi_fwq_set_loudness(FwQ28* p, int enabled, const int32_t* coef,
+                               const int32_t* bypass) {
+    p->loud_on = enabled;
+    if (enabled) {
+        memcpy(p->loud_c, coef, sizeof(p->loud_c));
+        p->loud_byp[0] = bypass[0];
+        p->loud_byp[1] = bypass[1];
+    }
+}
+
+// Raw quantized gains — the same ints ChainParams carries, so the test
+// isolates the runtime signal path (the Q28/Q15 derivations are exact
+// integer quantizations measured by the layout/design tests).
+API void dspi_fwq_set_gains(FwQ28* p, const int32_t* preamp_q28,
+                            int master_vol_q15, int host_vol_q15,
+                            int host_mute, const int32_t* matrix_q15,
+                            const float* out_gain_lin, const uint8_t* out_en,
+                            const uint8_t* out_mute,
+                            const int32_t* delay_samples) {
+    p->preamp_q28[0] = preamp_q28[0];
+    p->preamp_q28[1] = preamp_q28[1];
+    p->master_vol_q15 = master_vol_q15;
+    p->host_vol_q15 = host_vol_q15;
+    p->host_mute = host_mute;
+    for (int in = 0; in < 2; in++)
+        for (int o = 0; o < p->nout; o++)
+            p->matrix_q15[in][o] = matrix_q15[in * p->nout + o];
+    for (int o = 0; o < p->nout; o++) {
+        p->out_gain_lin[o] = out_gain_lin[o];
+        p->out_en[o] = out_en[o];
+        p->out_mute[o] = out_mute[o];
+        p->delay_samples[o] = delay_samples[o] & fwq::DELAY_MASK;
+    }
+}
+
+API void dspi_fwq_set_leveller_raw(FwQ28* p, int enabled, int lookahead,
+                                   float a_rms, float a_att, float a_rel,
+                                   float thresh, float knee, float gate,
+                                   float ratio, float max_gain, float makeup) {
+    p->lev_on = enabled;
+    p->lev_lookahead = lookahead;
+    p->alpha_rms = a_rms;
+    p->alpha_attack = a_att;
+    p->alpha_release = a_rel;
+    p->threshold_db = thresh;
+    p->knee_db = knee;
+    p->gate_db = gate;
+    p->ratio = ratio;
+    p->max_gain_db = max_gain;
+    p->makeup_db = makeup;
+}
+
+API void dspi_fwq_set_crossfeed(FwQ28* p, int enabled, int32_t lp_a0,
+                                int32_t lp_b1, int32_t ap_a) {
+    p->xf_on = enabled;
+    p->lp_a0 = lp_a0;
+    p->lp_b1 = lp_b1;
+    p->ap_a = ap_a;
+    p->lp_L = p->lp_R = p->ap_L = p->ap_R = 0;
+}
+
+API void dspi_fwq_enable_pdm(FwQ28* p, int enabled, int fade) {
+    p->pdm_on = enabled;
+    memset(p->pdm_state, 0, sizeof(p->pdm_state));
+    p->pdm_state[7] = 123456789;            // xorshift32 seed
+    p->pdm_state[8] = fade ? 0 : 1024;
+}
+
+// diagnostic: leveller internals (env Q28, gains Q28, smoothed dB bits)
+API void dspi_fwq_get_lev(FwQ28* p, int32_t* out5) {
+    out5[0] = p->env_l;
+    out5[1] = p->env_r;
+    out5[2] = p->gain_q28;
+    out5[3] = p->gain_prev_q28;
+    float g = p->gain_smooth_db;
+    memcpy(&out5[4], &g, 4);
+}
+
+// process_audio_packet Q28 path (usb_audio.c:968-1283), single-core
+// ordering.  x: int32 [npkt][2][T] (s16 values, or sign-extended s24);
+// preset_mute: float [npkt] (1.0 = no envelope);
+// out: int32 [npkt][nout][T] post-delay Q28 buf_out;
+// pdm_words: uint32 [npkt*T*8] or NULL.
+API void dspi_fwq_process(FwQ28* p, const int32_t* x, int npkt, int T,
+                          int bit24, const float* preset_mute, int32_t* out,
+                          uint32_t* pdm_words) {
+    int32_t buf_l[512], buf_r[512];
+    int32_t buf_out[fwq::MAXCH][512];
+
+    for (int pkt = 0; pkt < npkt; pkt++) {
+        const int32_t* in_l = x + ((size_t)pkt * 2) * T;
+        const int32_t* in_r = in_l + T;
+
+        // per-packet volume staging (usb_audio.c:975-980)
+        int32_t vol_mul = p->host_mute ? 0 : p->host_vol_q15;
+        float pm = preset_mute ? preset_mute[pkt] : 1.0f;
+        int32_t pm_q15 = (int32_t)(pm * 32768.0f + 0.5f);
+        if (pm_q15 < 0) pm_q15 = 0;
+        if (pm_q15 > 32768) pm_q15 = 32768;
+        vol_mul = dspi_q15_mul(vol_mul, pm_q15);
+        int32_t vol_mul_master = dspi_q15_mul(vol_mul, p->master_vol_q15);
+
+        // PASS 1: unpack + preamp (usb_audio.c:996-1015)
+        for (int i = 0; i < T; i++) {
+            int32_t raw_l, raw_r;
+            if (bit24) {
+                raw_l = (int32_t)((uint32_t)in_l[i] << 8) >> 2;
+                raw_r = (int32_t)((uint32_t)in_r[i] << 8) >> 2;
+            } else {
+                raw_l = in_l[i] << 14;
+                raw_r = in_r[i] << 14;
+            }
+            buf_l[i] = dspi_q28_mul(raw_l, p->preamp_q28[0]);
+            buf_r[i] = dspi_q28_mul(raw_r, p->preamp_q28[1]);
+        }
+
+        // loudness biquads (usb_audio.c:1017-1046)
+        if (p->loud_on) {
+            for (int i = 0; i < T; i++) {
+                int32_t rl = buf_l[i], rr = buf_r[i];
+                for (int j = 0; j < 2; j++) {
+                    if (p->loud_byp[j]) continue;
+                    const int32_t* lc = p->loud_c[j];
+                    int32_t res = wrap_add(dspi_q28_mul(lc[0], rl),
+                                           p->loud_s1[0][j]);
+                    p->loud_s1[0][j] =
+                        wrap_add(wrap_sub(dspi_q28_mul(lc[1], rl),
+                                          dspi_q28_mul(lc[3], res)),
+                                 p->loud_s2[0][j]);
+                    p->loud_s2[0][j] = wrap_sub(dspi_q28_mul(lc[2], rl),
+                                                dspi_q28_mul(lc[4], res));
+                    rl = res;
+                }
+                for (int j = 0; j < 2; j++) {
+                    if (p->loud_byp[j]) continue;
+                    const int32_t* lc = p->loud_c[j];
+                    int32_t res = wrap_add(dspi_q28_mul(lc[0], rr),
+                                           p->loud_s1[1][j]);
+                    p->loud_s1[1][j] =
+                        wrap_add(wrap_sub(dspi_q28_mul(lc[1], rr),
+                                          dspi_q28_mul(lc[3], res)),
+                                 p->loud_s2[1][j]);
+                    p->loud_s2[1][j] = wrap_sub(dspi_q28_mul(lc[2], rr),
+                                                dspi_q28_mul(lc[4], res));
+                    rr = res;
+                }
+                buf_l[i] = rl;
+                buf_r[i] = rr;
+            }
+        }
+
+        // PASS 2: master EQ
+        if (!p->bypass_master) {
+            if (!p->ch_bypassed[0]) fwq::eq_block(p, 0, buf_l, T);
+            if (!p->ch_bypassed[1]) fwq::eq_block(p, 1, buf_r, T);
+        }
+
+        // PASS 2.5: leveller
+        if (p->lev_on) fwq::leveller_block(p, buf_l, buf_r, T);
+
+        // PASS 3: crossfeed (peaks are telemetry, not signal — skipped)
+        if (p->xf_on)
+            for (int i = 0; i < T; i++)
+                fwq::crossfeed_stereo(p, &buf_l[i], &buf_r[i]);
+
+        // PASS 4: matrix (usb_audio.c:1075-1100), output-major Q15
+        for (int o = 0; o < p->nout; o++) {
+            int32_t* dst = buf_out[o];
+            if (!p->out_en[o]) {
+                memset(dst, 0, T * sizeof(int32_t));
+                continue;
+            }
+            int32_t gl = p->matrix_q15[0][o], gr = p->matrix_q15[1][o];
+            if (gl != 0 && gr != 0) {
+                for (int i = 0; i < T; i++)
+                    dst[i] = wrap_add(dspi_q15_mul(buf_l[i], gl),
+                                      dspi_q15_mul(buf_r[i], gr));
+            } else if (gl != 0) {
+                for (int i = 0; i < T; i++)
+                    dst[i] = dspi_q15_mul(buf_l[i], gl);
+            } else if (gr != 0) {
+                for (int i = 0; i < T; i++)
+                    dst[i] = dspi_q15_mul(buf_r[i], gr);
+            } else {
+                memset(dst, 0, T * sizeof(int32_t));
+            }
+        }
+
+        // PASS 5: per-output EQ + gain (usb_audio.c:1195-1222)
+        for (int o = 0; o < p->nout; o++) {
+            if (!p->out_en[o]) continue;
+            if (!p->out_mute[o]) {
+                int eq_ch = 2 + o;
+                if (!p->bypass_master && !p->ch_bypassed[eq_ch])
+                    fwq::eq_block(p, eq_ch, buf_out[o], T);
+            }
+            // float multiply then truncate (usb_audio.c:1203-1205)
+            int32_t gain = p->out_mute[o]
+                ? 0
+                : fwq::f2i_sat(p->out_gain_lin[o] * (float)vol_mul_master);
+            if (gain == 0) {
+                memset(buf_out[o], 0, T * sizeof(int32_t));
+            } else {
+                int32_t* dst = buf_out[o];
+                for (int i = 0; i < T; i++)
+                    dst[i] = dspi_q15_mul(dst[i], gain);
+            }
+        }
+
+        // delay lines (usb_audio.c:1224-1238): shared base write index
+        for (int o = 0; o < p->nout; o++) {
+            int32_t dly = p->delay_samples[o];
+            if (dly <= 0) continue;
+            int32_t* dst = buf_out[o];
+            int32_t* dline =
+                p->delay_lines + (size_t)o * (fwq::DELAY_MASK + 1);
+            uint32_t widx = p->delay_widx;
+            for (int i = 0; i < T; i++) {
+                dline[widx] = dst[i];
+                dst[i] = dline[(widx - dly) & fwq::DELAY_MASK];
+                widx = (widx + 1) & fwq::DELAY_MASK;
+            }
+        }
+        p->delay_widx = (p->delay_widx + T) & fwq::DELAY_MASK;
+
+        // PDM sub (usb_audio.c:1264-1276)
+        if (p->pdm_on && p->out_en[p->nout - 1] && pdm_words) {
+            const int32_t* sub = buf_out[p->nout - 1];
+            for (int i = 0; i < T; i++)
+                fwf::pdm_sample(p->pdm_state, sub[i],
+                                pdm_words + ((size_t)pkt * T + i) * 8);
+        }
+
+        for (int o = 0; o < p->nout; o++)
+            memcpy(out + ((size_t)pkt * p->nout + o) * T, buf_out[o],
+                   T * sizeof(int32_t));
+    }
+}

@@ -222,3 +222,182 @@ def test_mxu_device_path_vs_firmware_oracle(rng):
     print(f"\nmxu-device-vs-firmware RMS = {rel:.3e}")
     assert ref > 1e-5
     assert rel < 1e-6, rel
+
+
+# ----------------------------------------------------------------------------
+# Q28 fidelity: DEVICE path vs the native firmware-Q28 oracle (round-2
+# VERDICT item #1).  The oracle (native.FirmwareQ28) runs the full RP2040
+# chain with *libm* log10f/powf and hardware float division in the
+# leveller (leveller.c:264-389) — unlike the golden twin, it does NOT share
+# the repo's deterministic fmath, so the Q28 gain LSB can lawfully differ
+# and the tests below report the measured word-flip rate.
+# ----------------------------------------------------------------------------
+
+
+def _rp2040(builder):
+    cfg = builder()
+    cfg.platform = Platform.RP2040
+    return DeviceConfig(platform=Platform.RP2040)
+
+
+def q1_passthrough():
+    return DeviceConfig(platform=Platform.RP2040)
+
+
+def q2_peq10():
+    cfg = DeviceConfig(platform=Platform.RP2040)
+    for ch in (0, 1):
+        for b in range(10):
+            cfg.eq[ch][b] = EqBand(FilterType.PEAKING, 100.0 * (b + 1),
+                                   1.5, 2.0 if b % 2 else -3.0)
+    return cfg
+
+
+def q3_matrix_delays():
+    cfg = DeviceConfig(platform=Platform.RP2040)
+    nout = cfg.num_outputs
+    for o in range(nout - 1):
+        cfg.outputs[o].enabled = True
+        cfg.outputs[o].gain_db = -1.0 - 0.25 * o
+        cfg.outputs[o].delay_ms = 8.0 * o / nout
+        left = o % 2 == 0
+        cfg.crosspoints[0][o] = Crosspoint(True, o == 2, 0.0 if left else -6.0)
+        cfg.crosspoints[1][o] = Crosspoint(True, False, -6.0 if left else 0.0)
+    cfg.sync_delays()
+    return cfg
+
+
+def q4_crossfeed_loudness():
+    cfg = DeviceConfig(platform=Platform.RP2040)
+    cfg.crossfeed.enabled = True
+    cfg.crossfeed.preset = 1
+    cfg.loudness.enabled = True
+    cfg.host_volume_index = 40
+    return cfg
+
+
+def q5_full(rate=48000.0, leveller=True, pdm=True):
+    cfg = DeviceConfig(platform=Platform.RP2040, sample_rate=rate)
+    nout = cfg.num_outputs
+    for ch in range(cfg.num_channels):
+        for b in range(8):
+            cfg.eq[ch][b] = EqBand(FilterType.PEAKING, 150.0 * (b + 1), 1.2,
+                                   1.5 if (ch + b) % 2 else -2.0)
+    for o in range(nout):
+        if o == nout - 1 and not pdm:
+            continue
+        cfg.outputs[o].enabled = True
+        cfg.outputs[o].delay_ms = 0.4 * o
+        cfg.crosspoints[0][o] = Crosspoint(True, False, -3.0)
+        cfg.crosspoints[1][o] = Crosspoint(True, False, -3.0)
+    cfg.sync_delays()
+    cfg.loudness.enabled = True
+    cfg.crossfeed.enabled = True
+    if leveller:
+        cfg.leveller.enabled = True
+        cfg.leveller.amount = 70.0
+        cfg.leveller.speed = 2
+        cfg.leveller.lookahead = True
+        cfg.leveller.gate_threshold_db = -70.0
+    return cfg
+
+
+def _compare_q28(cfg, rng, scale=0.5, npkt=NPKT, block=BLOCK, bit_depth=16):
+    """Run the DEVICE Q28 path and the firmware-Q28 oracle on the same
+    stream; return a metrics dict: q28 word flip rate + max LSB depth,
+    s24 (wire sample) flip rate + depth, pdm word flip rate."""
+    from dspi_tpu.chain import Engine
+
+    x = make_input(rng, npkt, block, 1, bit_depth=bit_depth, scale=scale)
+    fq = native.FirmwareQ28(cfg)
+    want, want_words = fq.process(x[..., 0], bit_depth=bit_depth)
+
+    eng = Engine(cfg, n_streams=1, block_size=block, bit_depth=bit_depth,
+                 unroll=2)
+    assert not eng.static.is_float
+    out = eng.process(x)
+    got = np.asarray(out["out"])[..., 0]
+
+    assert np.abs(want).max() > 0, "signal never reached the outputs"
+    d = np.abs(got.astype(np.int64) - want)
+    # wire samples: the firmware's S/PDIF conversion (usb_audio.c:1250-1256)
+    s24_w = np.clip((want.astype(np.int64) + 32) >> 6, -0x800000, 0x7FFFFF)
+    s24_g = np.clip((got.astype(np.int64) + 32) >> 6, -0x800000, 0x7FFFFF)
+    m = {
+        "q28_flip": float((got != want).mean()),
+        "q28_max_lsb": int(d.max()),
+        "s24_flip": float((s24_g != s24_w).mean()),
+        "s24_max_lsb": int(np.abs(s24_g - s24_w).max()),
+        "pdm_flip": None,
+    }
+    if want_words is not None and "pdm" in out:
+        got_words = np.asarray(out["pdm"])
+        got_words = got_words.reshape(-1, 8, got_words.shape[-1])[..., 0]
+        m["pdm_flip"] = float((got_words != want_words).mean())
+        # modulator INPUT flip rate: pcm = sub_q28 >> 14
+        # (pdm_generator.c:357) — the causal metric.  One flipped pcm LSB
+        # perturbs the error-feedback state, after which word streams
+        # lawfully diverge (leakage decays over 2^16 samples); the
+        # firmware would diverge from itself identically under a
+        # different libm.
+        nout = got.shape[1]
+        m["pdm_in_flip"] = float(
+            ((got[:, nout - 1].astype(np.int64) >> 14)
+             != (want[:, nout - 1].astype(np.int64) >> 14)).mean())
+    return m
+
+
+@pytest.mark.parametrize("name,builder", [
+    ("q1_passthrough", q1_passthrough),
+    ("q2_peq10", q2_peq10),
+    ("q3_matrix_delays", q3_matrix_delays),
+    ("q4_crossfeed_loudness", q4_crossfeed_loudness),
+])
+def test_q28_device_vs_firmware_oracle_exact(name, builder, rng):
+    """Leveller-off configs have an all-integer signal path (the only float
+    op — output gain x vol_mul — is a single exactly-rounded multiply both
+    sides), so the device output must equal the libm firmware oracle
+    BIT-EXACTLY."""
+    m = _compare_q28(builder(), rng)
+    assert m["q28_flip"] == 0.0, m
+
+
+@pytest.mark.parametrize("name,kwargs,scale", [
+    ("q5_full_48k", {}, 0.5),
+    ("q5_full_96k", {"rate": 96000.0}, 0.5),
+    # quiet input drives the upward compressor into its boost region every
+    # block — libm log10f/powf run with non-unity results (hardest case)
+    ("q5_full_48k_quiet", {}, 0.02),
+])
+def test_q28_device_vs_firmware_oracle_leveller(name, kwargs, scale, rng):
+    """Leveller-on: the firmware computes its block gain in float with libm
+    and quantizes to Q28 (leveller.c:305-335).  A 1-ulp libm difference can
+    flip the quantized gain LSB; this measures the resulting output-word
+    flip rate of the device path (which uses deterministic fmath there)."""
+    block = 96 if kwargs.get("rate") == 96000.0 else BLOCK
+    m = _compare_q28(q5_full(**kwargs), rng, scale=scale, block=block)
+    print(f"\n{name}: {m}")
+    # Measured landscape (2026-08-17): full chains at normal level are
+    # BIT-EXACT; in the deep-boost region the smoothed-gain recurrence
+    # accumulates libm-vs-fmath ulps to <=117 Q28 LSB (4.4e-7 of full
+    # scale), <=2 LSB on the 24-bit wire samples, zero PDM word flips
+    # (the modulator input drops 14 LSBs).  Bounds are ~4x the measured
+    # worst case.
+    assert m["q28_max_lsb"] <= 512, m
+    assert m["s24_max_lsb"] <= 4, m
+    if m["pdm_flip"] is not None:
+        assert m["pdm_in_flip"] < 2e-2, m
+        if m["pdm_in_flip"] == 0.0:
+            assert m["pdm_flip"] == 0.0, m
+
+
+def test_q28_leveller_gain_region_exercised(rng):
+    """The flip-rate numbers are only meaningful if the gain computer ran
+    outside unity: check the Q28 smoothed gain went positive."""
+    from dspi_tpu.chain import Engine
+
+    cfg = q5_full()
+    x = make_input(rng, NPKT, BLOCK, 1, scale=0.02)
+    eng = Engine(cfg, n_streams=1, unroll=2)
+    eng.process(x)
+    assert float(np.asarray(eng.state.lev_gain_db)[0]) > 0.3
