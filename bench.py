@@ -65,7 +65,7 @@ def full_chain_config(platform, sample_rate=48000.0, pdm=True):
 
 
 def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
-                 block=None, depth=None, schedule=None):
+                 block=None, depth=None, schedule=None, wire=False):
     """Chained-throughput measurement.
 
     Honesty rules (tunneled backends lie in two ways):
@@ -98,7 +98,8 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
     depth = depth or int(os.environ.get("DSPI_BENCH_DEPTH", 8))
     block = block or (96 if cfg.sample_rate == 96000 else 48)
     eng = Engine(cfg, n_streams=n_streams, block_size=block, emit="reduced",
-                 pdm=pdm, unroll=unroll, pdm_fade=False, schedule=schedule)
+                 pdm=pdm, unroll=unroll, pdm_fade=False, schedule=schedule,
+                 wire=wire)
     rng = np.random.default_rng(7)
     if schedule:
         n_packets = len(schedule)

@@ -2,7 +2,8 @@
 """Per-stage microbenchmarks on the real TPU: where does the time go?
 
 Usage:  python bench_stages.py [stage ...]
-Stages: pdm chain nopdm passthrough peq full96 q28 sweep
+Stages: pdm chain wire nopdm passthrough peq full96 q28 grouped hetero
+        sweep
 Env:    DSPI_BENCH_STREAMS, DSPI_BENCH_PACKETS, DSPI_BENCH_UNROLL,
         DSPI_PDM_IMPL, DSPI_PDM_UNROLL
 
@@ -101,6 +102,94 @@ def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None, chain_k=8):
     return rtf, best
 
 
+def _hetero_variants(k):
+    """k full-chain configs sharing static structure (band kinds, enables,
+    delays) but with distinct coefficients — the realistic serving mix."""
+    from dspi_tpu.core.constants import Platform
+
+    cfgs = []
+    for i in range(k):
+        cfg = full_chain_config(Platform.RP2350)
+        for ch in range(cfg.num_channels):
+            for b_ in range(10):
+                e = cfg.eq[ch][b_]
+                e.freq = float(e.freq) * (1.0 + 0.02 * i)
+                e.gain_db = float(e.gain_db) + (0.2 if i % 2 else -0.2)
+        cfg.master_volume_db = -10.0 - 0.5 * i
+        cfgs.append(cfg)
+    return cfgs
+
+
+def _fold(out):
+    return sum(jnp.sum(v).astype(jnp.float32)
+               for v in jax.tree.leaves(out))
+
+
+def bench_grouped(k=8, g=None, npkt=None):
+    """Homogeneous-structure grouped serving: K configs x G streams as one
+    vmapped program (the reference number for the hetero ratio)."""
+    from jax import lax
+
+    from dspi_tpu.chain.grouped import GroupedEngine
+
+    g = g or B // k
+    npkt = npkt or NPKT
+    eng = GroupedEngine(_hetero_variants(k), streams_per_group=g,
+                        emit="reduced", pdm=True, unroll=UNROLL,
+                        pdm_fade=False)
+    rng = np.random.default_rng(5)
+    x = jax.device_put(rng.integers(
+        -16000, 16000, size=(k, npkt, 2, 48, g)).astype(np.int32))
+    pm = jnp.ones((npkt,), jnp.float32)
+
+    @jax.jit
+    def run(params, state, x):
+        def body(i, carry):
+            st, acc = carry
+            st, out = eng._vraw(params, st, jnp.roll(x, i, axis=1), pm)
+            return st, acc + _fold(out)
+        _, acc = lax.fori_loop(0, DEPTH, body, (state, jnp.float32(0)))
+        return acc
+
+    best = timeit(run, eng.params, eng.state, x)
+    rtf = DEPTH * k * g * npkt * 48 / RATE / best
+    return rtf, best
+
+
+def bench_hetero(k=8, b=None, npkt=None):
+    """ARBITRARY per-stream config mix: k configs scattered across b
+    streams, bucketed onto the grouped MXU path by HeteroServer
+    (round-2 VERDICT #5: target >=70% of the grouped number)."""
+    from jax import lax
+
+    from dspi_tpu.chain.grouped import HeteroServer
+
+    b = b or B
+    npkt = npkt or NPKT
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, k, size=b)
+    srv = HeteroServer(_hetero_variants(k), ids, emit="reduced", pdm=True,
+                       unroll=UNROLL, pdm_fade=False)
+    x = jax.device_put(rng.integers(
+        -16000, 16000, size=(npkt, 2, 48, b)).astype(np.int32))
+    pm = jnp.ones((npkt,), jnp.float32)
+    perm, inv = srv._perm, srv._inv
+
+    @jax.jit
+    def run(params, state, x):
+        def body(i, carry):
+            st, acc = carry
+            st, out = srv._raw(params, st, jnp.roll(x, i, axis=0), pm,
+                               perm, inv)
+            return st, acc + _fold(out)
+        _, acc = lax.fori_loop(0, DEPTH, body, (state, jnp.float32(0)))
+        return acc
+
+    best = timeit(run, srv.grouped.params, srv.grouped.state, x)
+    rtf = DEPTH * b * npkt * 48 / RATE / best
+    return rtf, best, srv.padding_waste
+
+
 def bench_sched441(b=B, n_pairs=64):
     """Full chain at 44.1 kHz with the firmware's 44/45 variable-packet
     cadence compiled in (thin wrapper over bench.bench_engine)."""
@@ -136,6 +225,13 @@ def main():
             cfg = full_chain_config(Platform.RP2350)
             rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL)
             out["full_chain"] = {"rtf": rtf, "wall": dt}
+        elif s == "wire":
+            # full chain INCLUDING the device-side wire-word stage
+            # (S/PDIF subframe encode for all four pairs) — VERDICT #2's
+            # "quoted RTF including wire encode"
+            cfg = full_chain_config(Platform.RP2350)
+            rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL, wire=True)
+            out["full_chain_wire"] = {"rtf": rtf, "wall": dt}
         elif s == "nopdm":
             cfg = full_chain_config(Platform.RP2350)
             rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL, pdm=False)
@@ -162,6 +258,16 @@ def main():
             cfg = full_chain_config(Platform.RP2040)
             rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL)
             out["full_chain_q28"] = {"rtf": rtf, "wall": dt}
+        elif s == "grouped":
+            rtf, dt = bench_grouped()
+            out["grouped_k8"] = {"rtf": rtf, "wall": dt}
+            print(f"grouped 8x{B // 8}: {rtf:.0f}x", flush=True)
+        elif s == "hetero":
+            rtf, dt, waste = bench_hetero()
+            out["hetero_k8_scattered"] = {"rtf": rtf, "wall": dt,
+                                          "padding_waste": waste}
+            print(f"hetero 8 cfgs across {B}: {rtf:.0f}x "
+                  f"(padding {100 * waste:.1f}%)", flush=True)
         elif s == "sched441":
             out["full_44k1_sched"] = {"rtf": bench_sched441()}
         else:

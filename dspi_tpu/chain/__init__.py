@@ -29,7 +29,7 @@ class Engine:
                  bit_depth: int = 16, emit: str = "full", pdm: bool = True,
                  unroll: int = 8, outer_unroll: int = 1,
                  pdm_fade: bool = True, pdm_seed=C.PDM_RNG_SEED,
-                 schedule=None, mxu="auto"):
+                 schedule=None, mxu="auto", wire: bool = False):
         """``schedule``: optional per-packet sample counts compiled into the
         program (44.1 kHz delivers 44/45-sample packets at 1 kHz cadence,
         current_architecture.md:1092).  With a schedule, ``process`` takes
@@ -40,7 +40,13 @@ class Engine:
         bit-exactness).  Supports uniform and variable (44.1 kHz 44/45)
         schedules.  'auto' enables it on the TPU backend; the scan path —
         bit-identical to the golden model — is the default elsewhere and
-        always for Q28 chains."""
+        always for Q28 chains.
+
+        ``wire``: emit the wire-format word streams on-device — S/PDIF
+        IEC 60958 subframe pairs / I2S words per configured slot type —
+        with the 192-frame block position carried in state.  The host
+        WireEncoder (runtime/wire_out.py) remains the fallback for
+        engines built without it."""
         if mxu == "auto":
             import jax
 
@@ -51,7 +57,7 @@ class Engine:
         self.static = build_static(self.derived, block_size=block_size,
                                    bit_depth=bit_depth, emit=emit, pdm=pdm,
                                    unroll=unroll, outer_unroll=outer_unroll,
-                                   schedule=schedule, mxu=mxu)
+                                   schedule=schedule, mxu=mxu, wire=wire)
         self.params = build_params(self.derived, self.static)
         self.state = init_state(self.static, n_streams, pdm_seed=pdm_seed,
                                 pdm_fade=pdm_fade)
@@ -83,7 +89,8 @@ class Engine:
             bit_depth=old_static.bit_depth, emit=old_static.emit,
             pdm=old_static.pdm_on or cfg.outputs[-1].enabled,
             unroll=old_static.unroll, outer_unroll=old_static.outer_unroll,
-            schedule=old_static.schedule, mxu=old_static.mxu)
+            schedule=old_static.schedule, mxu=old_static.mxu,
+            wire=bool(old_static.wire))
         structural = new_static != old_static
         if structural:
             self.static = new_static
@@ -115,6 +122,11 @@ class Engine:
             st = self._reset_leveller(st)
         if preset_load and st.delay is not None:
             st = st._replace(delay=_zeros_like(st.delay))
+        # S/PDIF<->I2S slot type switch tears down and restarts the
+        # instances cycle-synchronized, resetting the IEC 60958 block
+        # position (process_type_switches, main.c:230-423)
+        if old_static.wire and new_static.wire != old_static.wire:
+            st = st._replace(wire_pos=np.int32(0))
         self.state = st
 
     def _reset_leveller(self, st):

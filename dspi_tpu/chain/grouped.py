@@ -53,7 +53,8 @@ class GroupedEngine:
     def __init__(self, cfgs, streams_per_group: int, block_size: int = 48,
                  bit_depth: int = 16, emit: str = "full", pdm: bool = True,
                  unroll: int = 8, pdm_fade: bool = True,
-                 pdm_seed=C.PDM_RNG_SEED, schedule=None, mxu="auto"):
+                 pdm_seed=C.PDM_RNG_SEED, schedule=None, mxu="auto",
+                 wire: bool = False):
         import jax
 
         from .pipeline import _process_float, _process_q28
@@ -66,7 +67,8 @@ class GroupedEngine:
         self.deriveds = [derive(c) for c in self.cfgs]
         statics = [build_static(d, block_size=block_size,
                                 bit_depth=bit_depth, emit=emit, pdm=pdm,
-                                unroll=unroll, schedule=schedule, mxu=mxu)
+                                unroll=unroll, schedule=schedule, mxu=mxu,
+                                wire=wire)
                    for d in self.deriveds]
         if any(s != statics[0] for s in statics):
             raise ValueError(
@@ -85,8 +87,10 @@ class GroupedEngine:
         raw = functools.partial(
             _process_float if self.static.is_float else _process_q28,
             self.static)
-        self._fn = jax.jit(jax.vmap(raw, in_axes=(0, 0, 0, None)),
-                           donate_argnums=(1,))
+        # _vraw is exposed (pre-jit) so benchmarks can chain segments
+        # on-device inside one outer jit (bench.py methodology)
+        self._vraw = jax.vmap(raw, in_axes=(0, 0, 0, None))
+        self._fn = jax.jit(self._vraw, donate_argnums=(1,))
         self._jnp = jax.numpy
 
     def update_group(self, k: int, cfg) -> None:
@@ -99,7 +103,8 @@ class GroupedEngine:
                          bit_depth=self.static.bit_depth,
                          emit=self.static.emit, pdm=self.static.pdm_on,
                          unroll=self.static.unroll,
-                         schedule=self.static.schedule, mxu=self.static.mxu)
+                         schedule=self.static.schedule, mxu=self.static.mxu,
+                         wire=bool(self.static.wire))
         if s != self.static:
             raise ValueError("new config changes the static structure")
         new = build_params(d, self.static)
@@ -125,4 +130,102 @@ class GroupedEngine:
                     else x.shape[1])
             preset_mute = self._jnp.ones((npkt,), self._jnp.float32)
         self.state, out = self._fn(self.params, self.state, x, preset_mute)
+        return out
+
+
+class HeteroServer:
+    """Arbitrary per-stream heterogeneous serving at grouped-engine speed.
+
+    The realistic serving shape is "K distinct configs scattered across B
+    streams in arbitrary order".  Round 1 served that through
+    ``build_params_multi``'s per-stream scan path (~10x slower than the
+    MXU path: per-stream coefficient axes block the block-matrix
+    lowering).  This dispatcher instead *buckets* the streams: a stable
+    permutation gathers each config's streams into its own contiguous
+    group, the vmapped GroupedEngine (MXU-capable) processes the groups,
+    and the inverse permutation scatters the outputs back to the caller's
+    stream order.  Both permutations are single device gathers per
+    segment, fused into the same jit as the pipeline.
+
+    Because a stream's config assignment is fixed at build time, the
+    per-stream STATE lives permanently in grouped layout — only inputs
+    and outputs permute.  Unequal bucket sizes are padded to the largest
+    (padding slots recompute some stream; their outputs are dropped by
+    the inverse permutation).
+
+    ``update_group(k, cfg)`` swaps one config's coefficients live;
+    re-assigning streams to different configs is a rebuild (the firmware
+    analog: re-flashing a different preset set).
+    """
+
+    def __init__(self, cfgs, stream_config_ids, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        ids = np.asarray(stream_config_ids, np.int64)
+        K = len(cfgs)
+        if ids.min() < 0 or ids.max() >= K:
+            raise ValueError("stream_config_ids out of range")
+        self.n_streams = len(ids)
+        counts = np.bincount(ids, minlength=K)
+        G = int(counts.max())
+        perm = np.zeros((K, G), np.int64)
+        valid = np.zeros((K, G), bool)
+        for k in range(K):
+            idx = np.where(ids == k)[0]
+            perm[k, :len(idx)] = idx
+            perm[k, len(idx):] = idx[0] if len(idx) else 0
+            valid[k, :len(idx)] = True
+        inv = np.zeros(self.n_streams, np.int64)
+        flat, vmask = perm.reshape(-1), valid.reshape(-1)
+        inv[flat[vmask]] = np.where(vmask)[0]
+        self._perm = jnp.asarray(perm.reshape(-1))
+        self._inv = jnp.asarray(inv)
+        self.grouped = GroupedEngine(cfgs, streams_per_group=G, **kw)
+        self.padding_waste = float(K * G) / max(self.n_streams, 1) - 1.0
+
+        import functools
+
+        from .pipeline import _process_float, _process_q28
+
+        raw = functools.partial(
+            _process_float if self.grouped.static.is_float
+            else _process_q28, self.grouped.static)
+        vmapped = jax.vmap(raw, in_axes=(0, 0, 0, None))
+        Kp, Gp = K, G
+
+        def run(params, state, x, pm, perm, inv):
+            xg = jnp.take(x, perm, axis=-1)
+            xg = jnp.moveaxis(
+                xg.reshape(x.shape[:-1] + (Kp, Gp)), -2, 0)
+            state, out = vmapped(params, state, xg, pm)
+
+            def unperm(v):
+                v = jnp.moveaxis(v, 0, -2)               # [..., K, G]
+                v = v.reshape(v.shape[:-2] + (Kp * Gp,))
+                return jnp.take(v, inv, axis=-1)
+
+            return state, {k2: unperm(v) for k2, v in out.items()}
+
+        self._raw = run                # pre-jit, for chained benchmarks
+        self._fn = jax.jit(run, donate_argnums=(1,))
+        self._jnp = jnp
+
+    @property
+    def static(self):
+        return self.grouped.static
+
+    def update_group(self, k: int, cfg) -> None:
+        self.grouped.update_group(k, cfg)
+
+    def process(self, x, preset_mute=None):
+        """x: int32 [n_packets, 2, block, B] in the CALLER's stream order
+        -> output dict, trailing axes back in the caller's order."""
+        if preset_mute is None:
+            npkt = (len(self.static.schedule) if self.static.schedule
+                    else x.shape[0])
+            preset_mute = self._jnp.ones((npkt,), self._jnp.float32)
+        self.grouped.state, out = self._fn(
+            self.grouped.params, self.grouped.state, x, preset_mute,
+            self._perm, self._inv)
         return out

@@ -91,6 +91,14 @@ class StaticChain:
     # (44/45) schedules supported; held to the <=1e-6 RMS firmware-
     # fidelity budget instead of golden bit-exactness.
     mxu: bool = False
+    # Device-side wire-word output (audio_spdif.c:276-288,
+    # sample_encoding.cpp:24-68): when non-empty, a per-S/PDIF-slot tuple
+    # of output types (0 = S/PDIF subframe words, 1 = I2S words) compiled
+    # into the program; the pipeline then emits the exact DMA word
+    # streams on-device, with the IEC 60958 192-frame block position
+    # carried in ChainState.wire_pos across segments.
+    wire: tuple = ()
+    wire_rate: int = 48000
 
     @property
     def is_float(self) -> bool:
@@ -144,12 +152,14 @@ class ChainState(NamedTuple):
     pdm_rng: Any              # [B] u32
     pdm_fade: Any             # [B] i32
     clip_flags: Any           # [B] i32 sticky bitmask
+    wire_pos: Any             # scalar i32: IEC 60958 frame position (0-191)
 
 
 def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
                  emit: str = "full", pdm: bool = True,
                  unroll: int = 8, outer_unroll: int = 1,
-                 schedule=None, mxu: bool = False) -> StaticChain:
+                 schedule=None, mxu: bool = False,
+                 wire: bool = False) -> StaticChain:
     cfg = d.config
     if schedule:
         block_size = max(schedule)
@@ -206,6 +216,9 @@ def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
         outer_unroll=outer_unroll,
         schedule=tuple(int(t) for t in schedule) if schedule else (),
         mxu=bool(mxu and cfg.platform is Platform.RP2350),
+        wire=(tuple(int(t) for t in cfg.hardware.output_types[
+            :C.NUM_SPDIF_INSTANCES[cfg.platform]]) if wire else ()),
+        wire_rate=int(cfg.sample_rate),
     )
 
 
@@ -326,7 +339,8 @@ def build_params_multi(deriveds: list, static: StaticChain,
                          bit_depth=static.bit_depth, emit=static.emit,
                          pdm=static.pdm_on, unroll=static.unroll,
                          outer_unroll=static.outer_unroll,
-                         schedule=static.schedule, mxu=static.mxu)
+                         schedule=static.schedule, mxu=static.mxu,
+                         wire=bool(static.wire))
         if s != static:
             raise ValueError(
                 "heterogeneous configs must share static structure; "
@@ -383,4 +397,5 @@ def init_state(static: StaticChain, n_streams: int,
         pdm_fade=(zi(B) if pdm_fade
                   else np.full(B, C.PDM_FADE_IN_SAMPLES, np.int32)),
         clip_flags=zi(B),
+        wire_pos=np.int32(0),
     )

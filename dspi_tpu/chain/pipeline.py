@@ -307,6 +307,42 @@ def _chain_structure(static: StaticChain):
 # ---------------------------- float path -----------------------------------
 
 
+def _wire_stage(static, st, s24, Ttot, outputs):
+    """Device-side wire-word output (static.wire non-empty): emit the exact
+    DMA word streams the firmware's PIO state machines shift out —
+    S/PDIF IEC 60958 subframe pairs (audio_spdif.c:276-288,
+    sample_encoding.cpp:24-68) or I2S 24-in-32 words
+    (audio_i2s_multi.c:223-226) — per configured slot type, with the
+    192-frame block position threaded through ChainState.wire_pos so the
+    Z preamble lands every 192 frames ACROSS segment boundaries.
+
+    ``s24`` indexes per-channel [Ttot, B] planes (list in reduced mode,
+    stacked [ns2, Ttot, B] in full mode — both index the same way).
+    emit='full' -> uint32 word streams 'wire{pair}' ([Ttot, 4, B] S/PDIF,
+    [Ttot, 2, B] I2S); emit='reduced' -> one uint32 fold per pair."""
+    from ..kernels import encoders
+
+    pos0 = st.wire_pos
+    folds = []
+    for pair, typ in enumerate(static.wire):
+        sl, sr = s24[2 * pair], s24[2 * pair + 1]
+        if typ == 1:
+            words = jnp.stack([encoders.encode_i2s(sl),
+                               encoders.encode_i2s(sr)], axis=1)
+        else:
+            words = encoders.encode_spdif_block(
+                sl, sr, start_frame=pos0, sample_rate=static.wire_rate)
+        if static.emit == "full":
+            outputs[f"wire{pair}"] = words
+        else:
+            folds.append(jnp.sum(words, dtype=jnp.uint32))
+    if folds:
+        outputs["wire_sum"] = jnp.stack(folds)
+    return st._replace(
+        wire_pos=(pos0 + Ttot) % C.SPDIF_BLOCK_FRAMES)
+
+
+
 def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
                    x, preset_mute):
     x2, sched, Npkt, Ttot, ends = _segment_layout(static, x)
@@ -627,6 +663,9 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
         outputs["s24_sum"] = jnp.stack(
             [jnp.sum(v, axis=0) for v in s24])
 
+    if static.wire:
+        st = _wire_stage(static, st, s24, Ttot, outputs)
+
     if static.pdm_on:
         sub_q28 = _f32_to_i32(bufs[nout - 1] * jnp.float32(1 << 28))
         st, words = pdm_segment(st, sub_q28)
@@ -942,6 +981,9 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
     else:
         outputs["s24_sum"] = jnp.stack(
             [jnp.sum(v, axis=0) for v in s24])
+
+    if static.wire:
+        st = _wire_stage(static, st, s24, Ttot, outputs)
 
     if static.pdm_on:
         st, words = pdm_segment(st, bufs[nout - 1])

@@ -220,3 +220,108 @@ class StreamRunner:
         self._inflight.clear()
         self.stats.record_fill(0)
         return last
+
+
+class ChainedRunner:
+    """Production-shaped serving loop: ``depth`` segments chained on device
+    inside ONE jit per batch.
+
+    ``StreamRunner.feed`` dispatches one segment per call, so sustained
+    throughput sits on the per-call readback floor (~27 ms on tunneled
+    backends) — fine for latency-bound interactive use, 100-1000x below
+    what the chip delivers.  This runner uses the same shape the benchmark
+    proved honest (bench.py): state threads through ``depth`` segments
+    inside one compiled ``lax.scan``, each segment's outputs fold into a
+    per-segment scalar ack, and ONE host readback forces the whole batch.
+    Telemetry (peaks, clip flags) rides out with the last segment.
+
+    Control-plane commits apply at batch boundaries: ``params`` is a jit
+    argument, so ``VirtualDSPi.commit(engine)`` between ``feed`` calls
+    swaps coefficients with no recompile — the analog of the firmware's
+    deferred main-loop updates landing between USB packets.
+
+    Real-time accounting matches StreamRunner: a feed gap exceeding the
+    batch's audio duration counts starvations on every active slot.
+    """
+
+    def __init__(self, engine, depth: int = 8, deadline_s: float | None = None,
+                 n_slots: int | None = None):
+        import functools
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ..chain.pipeline import _process_float, _process_q28
+
+        self.engine = engine
+        self.depth = depth
+        self.deadline_s = deadline_s
+        if n_slots is None:
+            n_slots = engine.static.n_spdif
+        self.stats = RunnerStats(n_slots=n_slots, max_inflight=2)
+        self._inflight: list = []
+        self._t_last_feed: float | None = None
+
+        raw = functools.partial(
+            _process_float if engine.static.is_float else _process_q28,
+            engine.static)
+
+        def run(params, state, xb, pm):
+            def body(st, seg):
+                x_seg, pm_seg = seg
+                st, out = raw(params, st, x_seg, pm_seg)
+                fold = sum(jnp.sum(v).astype(jnp.float32)
+                           for v in jax.tree.leaves(out))
+                return st, (fold, out["peaks"], st.clip_flags)
+            st, (folds, peaks, clips) = lax.scan(body, state, (xb, pm))
+            return st, folds, peaks[-1], clips[-1]
+
+        self._run = jax.jit(run, donate_argnums=(1,))
+        self._params_dev = jax.device_put(jax.tree.map(
+            lambda v: None if v is None else v, engine.params))
+
+    def commit_params(self):
+        """Re-upload the engine's params after a control-plane commit
+        (VirtualDSPi.commit) so the next batch serves the new
+        coefficients."""
+        self._params_dev = jax.device_put(self.engine.params)
+
+    def feed(self, xb: np.ndarray, preset_mute=None):
+        """xb: int32 [depth, n_packets, 2, T, B] (one batch of chained
+        segments).  preset_mute: optional [depth, n_packets] staircase.
+        Returns (folds [depth], peaks, clips) — lazy until read."""
+        import time
+
+        import jax.numpy as jnp
+
+        now = time.perf_counter()
+        if (self.deadline_s is not None and self._t_last_feed is not None
+                and now - self._t_last_feed > self.deadline_s):
+            self.stats.record_starvation()
+        self._t_last_feed = now
+
+        if preset_mute is None:
+            npkt = (len(self.engine.static.schedule)
+                    if self.engine.static.schedule else xb.shape[1])
+            preset_mute = jnp.ones((self.depth, npkt), jnp.float32)
+        self.engine.state, folds, peaks, clips = self._run(
+            self._params_dev, self.engine.state, xb, preset_mute)
+        out = (folds, peaks, clips)
+        self._inflight.append(out)
+        self.stats.segments += self.depth
+        self.stats.record_fill(len(self._inflight))
+        if len(self._inflight) > 1:
+            done = self._inflight.pop(0)
+            # force by VALUE (tunneled block_until_ready can ack early)
+            float(np.asarray(done[0])[-1])
+            return done
+        return out
+
+    def drain(self):
+        last = None
+        for out in self._inflight:
+            float(np.asarray(out[0])[-1])
+            last = out
+        self._inflight.clear()
+        self.stats.record_fill(0)
+        return last

@@ -1,15 +1,23 @@
 #!/usr/bin/env python
 """End-to-end serving demo: many virtual DSPi devices on one chip.
 
-Shows the full production loop:
-  1. boot a vendor-protocol device from a flash preset image
-  2. spin up the batched engine for N streams
-  3. stream segments through with async host feed + telemetry
-  4. live control change (master volume) applied between segments with
-     the firmware's deferred-update semantics
-  5. emit real S/PDIF wire words for the first pair
+The full production loop, in the shape the benchmark proved honest
+(bench.py): ``depth`` segments chained on device inside one jit, ONE
+value-readback per batch, so sustained throughput is compute-bound
+instead of sitting on the per-call readback floor.
 
-Run: python examples/serve.py [n_streams] [segments]
+  1. boot a vendor-protocol device, full 11-channel chain
+  2. spin up the batched engine (device-side S/PDIF wire encode ON)
+  3. serve batches through ChainedRunner with real-time accounting
+  4. live control changes (master volume, preset save) applied at batch
+     boundaries with the firmware's deferred-update semantics — no
+     recompile, params swap only
+  5. telemetry (peaks, loads, starvations) read back through the vendor
+     protocol, printed from the demo itself
+
+Run: python examples/serve.py [n_streams] [n_batches]
+Interactive (segment-at-a-time StreamRunner, lower numbers, lower
+latency): python examples/serve.py [n_streams] [n_batches] --interactive
 """
 
 import struct
@@ -24,15 +32,89 @@ from dspi_tpu import Platform
 from dspi_tpu.chain import Engine
 from dspi_tpu.control import requests as R
 from dspi_tpu.control.device import VirtualDSPi
+from dspi_tpu.runtime.executor import ChainedRunner, StreamRunner
 from dspi_tpu.runtime.telemetry import EngineTelemetry
 from dspi_tpu.runtime.wire_out import WireEncoder
 
 
-def main():
-    n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    n_segments = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    npkt, block = 16, 48
+def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
+                  npkt: int = 32, block: int = 48):
+    from bench import full_chain_config
 
+    dev = VirtualDSPi(Platform.RP2350)
+    dev.cfg = full_chain_config(Platform.RP2350)   # full 11-channel chain
+
+    eng = Engine(dev.cfg, n_streams=n_streams, block_size=block,
+                 emit="reduced", pdm=True, unroll=48, pdm_fade=False,
+                 wire=True)
+    dev.dirty = False
+
+    batch_audio_s = depth * npkt * block / dev.cfg.sample_rate
+    runner = ChainedRunner(eng, depth=depth, deadline_s=batch_audio_s)
+    dev.attach_runner(runner)
+    tele = EngineTelemetry(sample_rate=dev.cfg.sample_rate)
+
+    # one device-resident pool of `depth` DISTINCT segments; each feed is
+    # a fresh dispatch over it (deployment feeds arrive via DMA, not host
+    # numpy — the chip-side work per batch is identical)
+    import jax
+    rng = np.random.default_rng(0)
+    xb = jax.device_put(rng.integers(
+        -20000, 20000,
+        size=(depth, npkt, 2, block, n_streams)).astype(np.int32))
+
+    print(f"serving {n_streams} streams, {n_batches} batches of "
+          f"{depth} x {npkt} packets ({1000 * batch_audio_s:.0f} ms audio "
+          f"per batch), device wire encode on")
+
+    def gains():
+        return np.stack([dev.packet_gains(npkt, block)
+                         for _ in range(depth)])
+
+    walls = []
+    for b in range(n_batches):
+        t0 = time.perf_counter()
+        done = runner.feed(xb, preset_mute=gains())
+        wall = time.perf_counter() - t0
+        if b > 0:
+            # steady-state: each feed forces the PREVIOUS batch; its wall
+            # is the sustained per-batch cost
+            walls.append(wall)
+            folds, peaks, clips = done
+            dev.update_telemetry(peaks, clips)
+            tele.load.update(wall / batch_audio_s)
+            rtf = n_streams * batch_audio_s / wall
+            status = dev.get(R.GET_STATUS, 9)
+            pk = struct.unpack("<11H", status[:22])
+            print(f"  batch {b:2d}: {rtf:9.0f}x RT sustained  "
+                  f"load {tele.load.percent}%  peak L/R {pk[0]}/{pk[1]}")
+
+        if b == n_batches // 2:
+            dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", -6.0))
+            if dev.commit(eng):
+                runner.commit_params()
+            print("  [mid-run] master volume -> -6 dB "
+                  "(params swap at batch boundary, no recompile)")
+        if b == n_batches // 2 + 1:
+            dev.set(R.PRESET_SAVE, 1)
+            dev.commit(eng)
+            runner.commit_params()
+            print("  [mid-run] preset save -> 8 ms mute envelope armed")
+
+    runner.drain()
+    best = min(walls) if walls else float("inf")
+    sustained = n_streams * batch_audio_s / best
+    starv = struct.unpack("<I", dev.get(R.GET_STATUS, 17))[0]
+    print(f"done: {n_batches * depth * npkt} packets/stream, best sustained "
+          f"{sustained:.0f}x RT ({n_streams} streams), "
+          f"starvations {starv}")
+    return sustained
+
+
+def serve_interactive(n_streams: int, n_segments: int,
+                      npkt: int = 16, block: int = 48):
+    """Original latency-bound loop: one segment per dispatch, host wire
+    encode, telemetry per segment."""
     dev = VirtualDSPi(Platform.RP2350)
     dev.set(R.SET_LOUDNESS, 0, b"\x01")
     dev.set(R.SET_LEVELLER_ENABLE, 0, b"\x01")
@@ -40,26 +122,21 @@ def main():
 
     eng = Engine(dev.cfg, n_streams=n_streams, block_size=block,
                  emit="full", pdm=False)
-    dev.dirty = False                      # engine built from current cfg
+    dev.dirty = False
     wire = WireEncoder(dev.cfg, block)
     tele = EngineTelemetry(sample_rate=dev.cfg.sample_rate)
-
-    # real-time accounting: starvation counters + buffer stats are fed by
-    # the runner (GET_STATUS 17-21, GET_BUFFER_STATS)
-    from dspi_tpu.runtime.executor import StreamRunner
     runner = StreamRunner(eng, max_inflight=2,
                           deadline_s=npkt * block / dev.cfg.sample_rate)
     dev.attach_runner(runner)
 
     rng = np.random.default_rng(0)
     print(f"serving {n_streams} streams, {n_segments} segments of "
-          f"{npkt * block / 48:.0f} ms")
+          f"{npkt * block / 48:.0f} ms (interactive mode)")
 
     for seg in range(n_segments):
         x = rng.integers(-20000, 20000,
                          size=(npkt, 2, block, n_streams)).astype(np.int32)
         tele.segment_begin()
-        # preset-mute envelope gains (unity unless a preset op is pending)
         out = runner.feed(x, preset_mute=dev.packet_gains(npkt, block))
         import jax
         jax.block_until_ready(out)
@@ -67,12 +144,10 @@ def main():
         tele.feed_device(dev, out)
 
         if seg == n_segments // 2:
-            # live volume change, applied like the firmware main loop
             dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", -6.0))
             dev.commit(eng)
             print("  [mid-run] master volume -> -6 dB (no recompile)")
         if seg == n_segments // 2 + 1:
-            # preset save: arms the firmware's 8 ms anti-pop fade
             dev.set(R.PRESET_SAVE, 1)
             dev.commit(eng)
             print("  [mid-run] preset save -> 8 ms mute envelope armed")
@@ -89,6 +164,16 @@ def main():
     print(f"done: {tele.packets_processed} packets, mean load "
           f"{dev.cpu_loads[0]}%, starvations "
           f"{struct.unpack('<I', dev.get(R.GET_STATUS, 17))[0]}")
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_streams = int(args[0]) if args else 8192
+    n_batches = int(args[1]) if len(args) > 1 else 12
+    if "--interactive" in sys.argv:
+        serve_interactive(n_streams, n_batches)
+    else:
+        serve_chained(n_streams, n_batches)
 
 
 if __name__ == "__main__":

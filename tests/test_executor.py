@@ -52,3 +52,68 @@ def test_runner_pipelines_segments(rng):
         lasts.append(np.asarray(ref.process(x)["out"]))
     out = runner.drain()
     np.testing.assert_array_equal(np.asarray(out["out"]), lasts[-1])
+
+
+def test_chained_runner_matches_segmentwise(rng):
+    """ChainedRunner (depth segments in one jit, bench-shaped) must evolve
+    the same state as feeding the segments one at a time, and its
+    per-segment folds must be finite values derived from real outputs."""
+    from dspi_tpu.runtime.executor import ChainedRunner
+
+    cfg = rich_config(Platform.RP2350, leveller=True, pdm=False)
+    depth, npkt, block, B = 3, 4, 48, 8
+    xb = np.stack([make_input(rng, npkt, block, B) for _ in range(depth)])
+
+    ref = Engine(cfg, n_streams=B, pdm=False, unroll=2, emit="reduced")
+    for k in range(depth):
+        ref.process(xb[k])
+    eng = Engine(cfg, n_streams=B, pdm=False, unroll=2, emit="reduced")
+    runner = ChainedRunner(eng, depth=depth)
+    folds, peaks, clips = runner.feed(xb)
+    runner.drain()
+
+    assert np.asarray(folds).shape == (depth,)
+    assert np.all(np.isfinite(np.asarray(folds)))
+    for f in ref.state._fields:
+        a, b = getattr(ref.state, f), getattr(eng.state, f)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f)
+    assert runner.stats.segments == depth
+
+
+def test_chained_runner_commit_params_applies(rng):
+    """A control-plane commit between batches must change the served
+    coefficients with no recompile (params are a jit argument)."""
+    import struct
+
+    from dspi_tpu.control import requests as R
+    from dspi_tpu.control.device import VirtualDSPi
+    from dspi_tpu.runtime.executor import ChainedRunner
+
+    dev = VirtualDSPi(Platform.RP2350)
+    dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", 0.0))
+    eng = Engine(dev.cfg, n_streams=4, pdm=False, unroll=2, emit="reduced")
+    dev.dirty = False
+    runner = ChainedRunner(eng, depth=2)
+    xb = np.stack([make_input(rng, 3, 48, 4) for _ in range(2)])
+
+    f1, p1, _ = runner.feed(xb)
+    runner.drain()
+    # master volume applies at the OUTPUT gain stage (usb_audio.c:877-895),
+    # so compare an output-channel peak, not the pre-gain master peak
+    peak_before = int(np.asarray(p1)[2, 0])
+    assert peak_before > 0
+
+    dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", -40.0))
+    assert dev.commit(eng)
+    runner.commit_params()
+    # reset state so peaks are comparable run-to-run
+    from dspi_tpu.chain import init_state
+    eng.state = init_state(eng.static, 4)
+    f2, p2, _ = runner.feed(xb)
+    runner.drain()
+    peak_after = int(np.asarray(p2)[2, 0])
+    assert peak_after < peak_before * 0.05      # -40 dB master volume

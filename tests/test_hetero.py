@@ -1,8 +1,9 @@
 """Per-stream heterogeneous configs: each stream its own coefficients."""
 
 import numpy as np
+import pytest
 
-from dspi_tpu import Platform
+from dspi_tpu import DeviceConfig, EqBand, FilterType, Platform
 from dspi_tpu.chain import Engine, build_params_multi
 from dspi_tpu.golden.model import GoldenDevice
 from dspi_tpu.params.design import derive
@@ -65,3 +66,110 @@ def test_config_ids_mapping(rng):
     np.testing.assert_array_equal(out2[..., 1], out2[..., 2])
     np.testing.assert_array_equal(out2[..., 0], out2[..., 3])
     assert np.abs(out2[..., 0] - out2[..., 1]).max() > 0
+
+
+# ----------------------------------------------------------------------------
+# HeteroServer: arbitrary per-stream config mix bucketed onto the grouped
+# (vmapped, MXU-capable) path — round-2 VERDICT item #5.
+# ----------------------------------------------------------------------------
+
+
+def _mix_cfgs(platform=Platform.RP2350):
+    cfgs = []
+    for k in range(3):
+        cfg = DeviceConfig(platform=platform)
+        for ch in (0, 1):
+            cfg.eq[ch][0] = EqBand(FilterType.PEAKING, 200.0 + 150.0 * k,
+                                   1.2, [2.0, 1.0, -2.5][k])
+        cfg.master_volume_db = -3.0 * k
+        cfgs.append(cfg)
+    return cfgs
+
+
+@pytest.mark.parametrize("platform", [Platform.RP2350, Platform.RP2040],
+                         ids=["float", "q28"])
+def test_hetero_server_matches_per_stream_scan(platform, rng):
+    """Scattered config ids through HeteroServer == the per-stream scan
+    path (build_params_multi), with outputs back in caller stream order.
+    Q28 is integer and must match bit-exactly.  Float runs the same scan
+    math, but the vmapped lowering lets XLA make different FMA-contraction
+    choices than the plain one, so equality there is to the ulp."""
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.chain.grouped import HeteroServer
+    from dspi_tpu.chain.pack import build_params_multi
+
+    cfgs = _mix_cfgs(platform)
+    B = 8
+    ids = np.array([2, 0, 1, 0, 2, 2, 1, 0])     # scattered, unequal counts
+    x = make_input(rng, 3, 48, B)
+
+    srv = HeteroServer(cfgs, ids, pdm=False, unroll=2, mxu=False)
+    out = srv.process(x)
+
+    ref = Engine(cfgs[0], n_streams=B, pdm=False, unroll=2, mxu=False)
+    ref.params = build_params_multi(
+        [ref.derived] + [derive(c) for c in cfgs[1:]],
+        ref.static, stream_config_ids=ids)
+    want = ref.process(x)
+
+    if platform is Platform.RP2040:
+        np.testing.assert_array_equal(np.asarray(out["out"]),
+                                      np.asarray(want["out"]))
+        np.testing.assert_array_equal(np.asarray(out["peaks"]),
+                                      np.asarray(want["peaks"]))
+    else:
+        np.testing.assert_allclose(np.asarray(out["out"]),
+                                   np.asarray(want["out"]),
+                                   rtol=1e-6, atol=1e-7)
+        assert np.abs(np.asarray(out["peaks"], np.int64)
+                      - np.asarray(want["peaks"])).max() <= 1
+
+
+def test_hetero_server_state_isolation(rng):
+    """A stream's filter state must follow its own data: feeding two
+    segments gives the same result as one engine per config subset."""
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.chain.grouped import HeteroServer
+
+    cfgs = _mix_cfgs()
+    ids = np.array([0, 1, 2, 1])
+    srv = HeteroServer(cfgs, ids, pdm=False, unroll=2, mxu=False)
+    xs = [make_input(rng, 2, 48, 4) for _ in range(2)]
+    outs = [np.asarray(srv.process(x)["out"]) for x in xs]
+
+    for b, k in enumerate(ids):
+        eng = Engine(cfgs[k], n_streams=1, pdm=False, unroll=2, mxu=False)
+        for seg, x in enumerate(xs):
+            want = np.asarray(eng.process(x[..., b:b + 1])["out"])[..., 0]
+            # ulp tolerance: vmapped vs plain lowering (see above)
+            np.testing.assert_allclose(outs[seg][..., b], want,
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"stream {b} seg {seg}")
+
+
+def test_hetero_server_update_group(rng):
+    from dspi_tpu.chain.grouped import HeteroServer
+
+    cfgs = _mix_cfgs()
+    ids = np.array([0, 1, 2, 0])
+    srv = HeteroServer(cfgs, ids, pdm=False, unroll=2, mxu=False)
+    x = make_input(rng, 2, 48, 4)
+    p0 = np.asarray(srv.process(x)["peaks"])[2, 0]
+
+    new = cfgs[0].copy()
+    new.master_volume_db = -60.0
+    srv.update_group(0, new)
+    p1 = np.asarray(srv.process(x)["peaks"])[2, 0]
+    p1_other = np.asarray(srv.process(x)["peaks"])[2, 1]
+    assert p1 < max(p0, 1) * 0.1                # group 0 stream got quiet
+    assert p1_other > 0                          # group 1 stream unaffected
+
+
+def test_hetero_server_padding_waste_bounded():
+    from dspi_tpu.chain.grouped import HeteroServer
+
+    cfgs = _mix_cfgs()
+    ids = np.array([0] * 6 + [1] * 1 + [2] * 1)  # very skewed
+    srv = HeteroServer(cfgs, ids, pdm=False, unroll=2, mxu=False)
+    assert srv.grouped.streams_per_group == 6
+    assert srv.padding_waste == pytest.approx(3 * 6 / 8 - 1.0)

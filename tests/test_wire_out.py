@@ -118,3 +118,114 @@ def test_mid_stream_type_switch(rng):
     pos = w.frame_pos
     assert not w.apply_types(dev.cfg.hardware.output_types)
     assert w.frame_pos == pos
+
+
+# ----------------------------------------------------------------------------
+# Device-side wire stage (Engine(wire=True)) — round-2 VERDICT item #2: the
+# wire words are produced on-device inside the jitted pipeline, with the
+# IEC 60958 block position carried in ChainState.wire_pos.
+# ----------------------------------------------------------------------------
+
+
+def _full_cfg(platform=Platform.RP2350):
+    from util import rich_config
+
+    cfg = rich_config(platform, leveller=False, pdm=False)
+    return cfg
+
+
+def test_device_wire_matches_host_encoder(rng):
+    """Engine(wire=True) word streams == the host WireEncoder applied to
+    the same engine's s24 outputs, segment after segment."""
+    from dspi_tpu.chain import Engine
+
+    cfg = _full_cfg()
+    cfg.hardware.output_types = [0, 1, 0, 0]    # mixed S/PDIF + I2S slots
+    eng = Engine(cfg, n_streams=2, pdm=False, unroll=2, wire=True)
+    assert eng.static.wire == (0, 1, 0, 0)
+    host = WireEncoder(cfg, 48)
+
+    from util import make_input
+
+    for _ in range(3):
+        x = make_input(rng, 4, 48, 2)
+        out = eng.process(x)
+        want = host.encode(np.asarray(out["s24"]))
+        for pair in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(out[f"wire{pair}"]), want[f"pair{pair}"],
+                err_msg=f"pair{pair}")
+    assert int(np.asarray(eng.state.wire_pos)) == host.frame_pos
+
+
+def test_device_wire_z_preamble_continuity(rng):
+    """The Z preamble (block start) must land every 192 frames ACROSS
+    segment boundaries (audio_spdif.c:384-401 block-position tracking)."""
+    from dspi_tpu.chain import Engine
+    from util import make_input
+
+    cfg = _full_cfg()
+    eng = Engine(cfg, n_streams=1, pdm=False, unroll=2, wire=True)
+    pre = []
+    for _ in range(5):                           # 5 x 144 = 720 frames
+        out = eng.process(make_input(rng, 3, 48, 1))
+        pre.append(np.asarray(out["wire0"])[:, 0, 0] & 0xFF)
+    pre = np.concatenate(pre)
+    z = np.where(pre == 0b00111001)[0]
+    np.testing.assert_array_equal(z, np.arange(0, 720, 192))
+    # X preamble everywhere else on the left subframe
+    assert set(np.unique(pre[pre != 0b00111001])) == {0b11001001}
+
+
+def test_device_wire_q28_path(rng):
+    """The Q28 (RP2040) pipeline emits wire words too; s24 -> words must
+    match the host encoder exactly."""
+    from dspi_tpu.chain import Engine
+    from util import make_input
+
+    cfg = _full_cfg(Platform.RP2040)
+    eng = Engine(cfg, n_streams=2, pdm=False, unroll=2, wire=True)
+    host = WireEncoder(cfg, 48)
+    x = make_input(rng, 4, 48, 2)
+    out = eng.process(x)
+    want = host.encode(np.asarray(out["s24"]))
+    for pair in range(2):
+        np.testing.assert_array_equal(np.asarray(out[f"wire{pair}"]),
+                                      want[f"pair{pair}"])
+
+
+def test_device_wire_type_switch_resets_block_pos(rng):
+    """Mid-stream S/PDIF<->I2S switch restarts the instances and resets
+    the block position (process_type_switches, main.c:230-423)."""
+    from dspi_tpu.chain import Engine
+    from util import make_input
+
+    cfg = _full_cfg()
+    eng = Engine(cfg, n_streams=1, pdm=False, unroll=2, wire=True)
+    eng.process(make_input(rng, 3, 48, 1))
+    assert int(np.asarray(eng.state.wire_pos)) == 144
+
+    cfg2 = cfg.copy()
+    cfg2.hardware.output_types = [0, 1, 0, 0]
+    eng.update_config(cfg2)
+    assert eng.static.wire == (0, 1, 0, 0)
+    assert int(np.asarray(eng.state.wire_pos)) == 0
+    out = eng.process(make_input(rng, 3, 48, 1))
+    z = np.where((np.asarray(out["wire0"])[:, 0, 0] & 0xFF)
+                 == 0b00111001)[0]
+    np.testing.assert_array_equal(z, [0])       # fresh block start
+
+
+def test_device_wire_reduced_mode_folds(rng):
+    """emit='reduced' keeps the words out of HBM but still computes them
+    (one uint32 fold per pair) — the shape the chained bench consumes."""
+    from dspi_tpu.chain import Engine
+    from util import make_input
+
+    cfg = _full_cfg()
+    eng = Engine(cfg, n_streams=2, pdm=False, unroll=2, wire=True,
+                 emit="reduced")
+    out = eng.process(make_input(rng, 3, 48, 2))
+    assert out["wire_sum"].shape == (4,)
+    assert out["wire_sum"].dtype == np.uint32
+    assert int(np.asarray(out["wire_sum"])[0]) != 0
