@@ -80,11 +80,15 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
         segment's reduced outputs accumulate into one scalar — and a
         single readback forces all of them.  RTF = depth*audio_sec/wall.
       * each chained segment processes a DIFFERENT input (the buffer
-        rotated by the iteration index): with identical inputs XLA's
+        XORed with the iteration index): with identical inputs XLA's
         while-loop invariant code motion could hoist every input-only
         computation (unpack, the MXU x-response matmuls) out of the loop
         and count it once instead of ``depth`` times — serving always
-        sees fresh data, so that hoist would be a lie.
+        sees fresh data, so that hoist would be a lie.  The variation is
+        an elementwise XOR (fuses into the unpack read) rather than a
+        packet rotation: jnp.roll cost a measured 5.7 ms/segment device
+        copy (7% of wall) that real serving — which receives fresh
+        buffers by host DMA, not device compute — never pays.
     """
     import functools
 
@@ -114,6 +118,7 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
             size=(n_packets, 2, block, n_streams)).astype(np.int32)
         roll_axis = 0
     x = jax.device_put(x)
+    del roll_axis
     pm = jnp.ones((n_packets,), jnp.float32)
     raw = functools.partial(
         _process_float if eng.static.is_float else _process_q28, eng.static)
@@ -122,7 +127,7 @@ def bench_engine(cfg, n_streams, n_packets, iters, unroll, pdm=True,
     def run(params, state, x):
         def body(i, carry):
             st, acc = carry
-            st, out = raw(params, st, jnp.roll(x, i, axis=roll_axis), pm)
+            st, out = raw(params, st, x ^ i, pm)
             return st, acc + sum(jnp.sum(leaf).astype(jnp.float32)
                                  for leaf in jax.tree.leaves(out))
         _, acc = lax.fori_loop(0, depth, body, (state, jnp.float32(0)))

@@ -88,9 +88,10 @@ def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None, chain_k=8):
     def run(state, x):
         def body(i, carry):
             s, acc = carry
-            # rotate the input per iteration: identical inputs would let
-            # XLA hoist input-only work out of the chained loop
-            s, words = pdm_segment(s, jnp.roll(x, i, axis=0),
+            # vary the input per iteration (fused elementwise XOR):
+            # identical inputs would let XLA hoist input-only work out
+            # of the chained loop
+            s, words = pdm_segment(s, x ^ i,
                                    unroll=unroll, impl=impl)
             return s, acc ^ jnp.sum(words, dtype=jnp.uint32)
         s, acc = lax.fori_loop(0, chain_k, body, (state, jnp.uint32(0)))
@@ -146,7 +147,7 @@ def bench_grouped(k=8, g=None, npkt=None):
     def run(params, state, x):
         def body(i, carry):
             st, acc = carry
-            st, out = eng._vraw(params, st, jnp.roll(x, i, axis=1), pm)
+            st, out = eng._vraw(params, st, x ^ i, pm)
             return st, acc + _fold(out)
         _, acc = lax.fori_loop(0, DEPTH, body, (state, jnp.float32(0)))
         return acc
@@ -179,7 +180,7 @@ def bench_hetero(k=8, b=None, npkt=None):
     def run(params, state, x):
         def body(i, carry):
             st, acc = carry
-            st, out = srv._raw(params, st, jnp.roll(x, i, axis=0), pm,
+            st, out = srv._raw(params, st, x ^ i, pm,
                                perm, inv)
             return st, acc + _fold(out)
         _, acc = lax.fori_loop(0, DEPTH, body, (state, jnp.float32(0)))

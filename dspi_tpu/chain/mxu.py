@@ -282,6 +282,29 @@ def _a_state_get(static, st, ch, ch_bands):
     return jnp.stack(rows)
 
 
+def _scatter_band_states(st, entries):
+    """Batch per-band state writebacks into ONE scatter per state array.
+
+    ``entries``: (c, band, kind, sa, sb) rows.  The naive per-band
+    ``arr.at[c, band].set(row)`` chain forces XLA through 2*n_bands
+    sequential full-array scatters — measured ~8 ms/segment on the
+    headline config's 90-band out-EQ writeback.  Grouping by target array
+    and scattering all rows at once turns that into <=4 scatters."""
+    groups = {}
+    for (c, band, kind, sa, sb) in entries:
+        fa, fb = ("eq_a", "eq_b") if kind == TDF2 else ("eq_c", "eq_d")
+        for f, row in ((fa, sa), (fb, sb)):
+            cs, bs, vs = groups.setdefault(f, ([], [], []))
+            cs.append(c)
+            bs.append(band)
+            vs.append(row)
+    for f, (cs, bs, vs) in groups.items():
+        arr = getattr(st, f).at[np.asarray(cs), np.asarray(bs)].set(
+            jnp.stack(vs))
+        st = st._replace(**{f: arr})
+    return st
+
+
 def _a_state_set(static, st, ch, ch_bands, vec):
     i = 0
     if static.loudness_on:
@@ -291,15 +314,11 @@ def _a_state_set(static, st, ch, ch_bands, vec):
             loud_b = loud_b.at[ch, j].set(vec[i + 1])
             i += 2
         st = st._replace(loud_a=loud_a, loud_b=loud_b)
+    entries = []
     for (c, band, kind) in ch_bands:
-        if kind != TDF2:
-            st = st._replace(eq_c=st.eq_c.at[c, band].set(vec[i]),
-                             eq_d=st.eq_d.at[c, band].set(vec[i + 1]))
-        else:
-            st = st._replace(eq_a=st.eq_a.at[c, band].set(vec[i]),
-                             eq_b=st.eq_b.at[c, band].set(vec[i + 1]))
+        entries.append((c, band, kind, vec[i], vec[i + 1]))
         i += 2
-    return st
+    return _scatter_band_states(st, entries) if entries else st
 
 
 def chain_a(static, p, st, bl, br, master_bands, Npkt):
@@ -490,6 +509,7 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
                 Ms.append(jnp.concatenate([Y, sF], axis=0))
             return Ms                                 # G x [s+S, s+S]
 
+        lay_o = layout
         if uniform:
             M_o = jnp.stack(build_group(Tmax))        # [G, T+S, T+S]
         else:
@@ -507,12 +527,17 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
             s_rows.append(vec)
         s0 = jnp.stack(s_rows)                        # [G, S_max, B]
 
-        x_g = jnp.stack([_to_packets(bufs[o], layout) for o in live],
+        x_g = jnp.stack([_to_packets(bufs[o], lay_o) for o in live],
                         axis=1)                       # [Npkt, G, Tmax, B]
-        sFin, y = _apply_blocked_batched(M_o, Tmax, S_max, x_g, s0)
+        sFin, y = _apply_blocked_batched(M_o, lay_o.tmax, S_max, x_g, s0)
+        entries = []
         for gi, o in enumerate(live):
-            st = _b_state_set_out(static, st, per_o[o], sFin[gi])
-            bufs[o] = _to_flat(y[:, gi], layout)
+            for j, (c, band, kind) in enumerate(per_o[o]):
+                entries.append((c, band, kind,
+                                sFin[gi][2 * j], sFin[gi][2 * j + 1]))
+            bufs[o] = _to_flat(y[:, gi], lay_o)
+        if entries:
+            st = _scatter_band_states(st, entries)
     return st, bufs
 
 
@@ -526,14 +551,3 @@ def _b_state_get_out(static, st, o_bands):
     return jnp.stack(rows)
 
 
-def _b_state_set_out(static, st, o_bands, vec):
-    i = 0
-    for (c, band, kind) in o_bands:
-        if kind != TDF2:
-            st = st._replace(eq_c=st.eq_c.at[c, band].set(vec[i]),
-                             eq_d=st.eq_d.at[c, band].set(vec[i + 1]))
-        else:
-            st = st._replace(eq_a=st.eq_a.at[c, band].set(vec[i]),
-                             eq_b=st.eq_b.at[c, band].set(vec[i + 1]))
-        i += 2
-    return st

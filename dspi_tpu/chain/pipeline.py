@@ -207,7 +207,12 @@ def _delay_apply(ring_k, buf, dly, T, D):
         tvec = jnp.arange(T, dtype=jnp.int32)
         idx = (D - dly)[None, :] + tvec[:, None]
         delayed = jnp.take_along_axis(comb, idx, axis=0)
-    return delayed, comb[T:]
+    # ring': the last D rows of comb.  When the segment covers the ring
+    # (T >= D, every production shape) that is a STATIC slice of buf —
+    # expressing it that way leaves the concat a single consumer so XLA
+    # fuses it into the delayed-read instead of materializing [D+T, B].
+    ring_new = buf[T - D:] if T >= D else comb[T:]
+    return delayed, ring_new
 
 
 def _flatten_time(x):

@@ -28,10 +28,14 @@ if not os.environ.get("DSPI_TEST_TPU"):
         pass
 
 # Persistent compilation cache: repeated runs skip XLA compiles entirely.
+# The tests get their OWN cache dir: TPU sessions compile host-side CPU
+# executables with different machine flags (prefer-no-scatter/-gather),
+# and loading those from a shared cache produced instruction-order numeric
+# flake right at the 1e-6 fidelity bound.
 try:
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("DSPI_JAX_CACHE",
-                                     "/tmp/dspi_jax_cache"))
+                                     "/tmp/dspi_jax_cache_cpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
