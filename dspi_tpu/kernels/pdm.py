@@ -164,17 +164,15 @@ def _sample_fori(carry, xs):
     return (err, err2, ns, rng), words
 
 
-def _pallas_tiles(ttot: int, b: int):
-    """Pick (tc, bt) for the Pallas kernel, or None if the shapes don't
-    tile.  bt: widest stream tile dividing B (more vregs per op -> more
-    ILP); tc sized so the words block stays <= 4 MB (8 MB double-buffered)."""
-    bt = next((c for c in (8192, 4096, 2048, 1024) if b % c == 0), None)
-    if bt is None:
-        return None
-    cap = max(1, (4 << 20) // (8 * bt * 4))          # words block <= 4 MB
-    tc = next((c for c in (32, 16, 8, 4, 2, 1)
-               if c <= cap and ttot % c == 0), None)
-    return None if tc is None else (tc, bt)
+def _pallas_worthwhile(ttot: int, b: int) -> bool:
+    """Use the Mosaic kernel when its padded-tile effective throughput
+    beats the XLA scan lowering (~2.4k x RT, flat in B on v5e).  Small
+    lane counts pad to a mostly-idle 1024-wide tile and lose; everything
+    serving-sized wins.  See pdm_pallas.padded_tiles."""
+    from .pdm_pallas import padded_tiles
+
+    t = padded_tiles(ttot, b)
+    return t is not None and t[3] > 2400.0
 
 
 def resolve_impl(impl: str = "auto") -> str:
@@ -197,10 +195,11 @@ def pdm_segment(state, x, unroll: int = 1, impl: str = "auto"):
     """
     impl = resolve_impl(impl)
     if impl == "pallas":
-        tiles = _pallas_tiles(x.shape[0], x.shape[1])
-        if tiles is not None:
-            from .pdm_pallas import pdm_segment_fast
-            return pdm_segment_fast(state, x, tc=tiles[0], bt=tiles[1])
+        if _pallas_worthwhile(x.shape[0], x.shape[1]):
+            from .pdm_pallas import (pack_pdm_state, pdm_words_flat,
+                                     unpack_pdm_state)
+            words, s16 = pdm_words_flat(x, pack_pdm_state(state))
+            return unpack_pdm_state(state, s16), words
         impl = "unrolled"
     target, fade = _targets(x, state.pdm_fade)
     body = _sample_fori if impl == "fori" else _sample_unrolled

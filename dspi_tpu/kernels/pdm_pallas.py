@@ -177,3 +177,74 @@ def pdm_segment_fast(state, x, tc: int = 128, bt: int = 1024,
     words, s16b = pdm_segment_pallas(x, s16, tc=tc, bt=bt,
                                      interpret=interpret)
     return unpack_pdm_state(state, s16b), words
+
+
+# ------------------- batched / arbitrary-B front door ----------------------
+#
+# Measured on v5e (48 kHz segment, chained-on-device timing): kernel
+# throughput is proportional to the stream-tile width bt and INDEPENDENT
+# of tc — at bt=128 each vector op touches one 1/8-filled vreg, at
+# bt=8192 eight full vregs pipeline.  So (a) arbitrary B is best served
+# by padding the lane axis up to a wide tile and slicing the pad off
+# (padding is free relative to running narrow tiles), and (b) a vmapped
+# call (GroupedEngine / HeteroServer: K groups x G lanes) must NOT batch
+# the grid — it should flatten K into the lane axis and run ONE wide
+# kernel.  The custom_vmap rule below does exactly that; the modulator is
+# per-lane (no cross-stream coupling and no per-config parameters), so
+# flattening is bit-exact.
+_BT_RTF = {8192: 36800.0, 4096: 29300.0, 2048: 16800.0, 1024: 9000.0}
+
+
+def padded_tiles(ttot: int, b: int):
+    """(tc, bt, b_pad, eff_rtf) maximizing measured effective throughput
+    rtf(bt) * b / b_pad, or None if ttot cannot be chunked."""
+    best = None
+    for bt, r in _BT_RTF.items():
+        b_pad = -(-b // bt) * bt
+        cap = max(1, (4 << 20) // (8 * bt * 4))      # words block <= 4 MB
+        tc = next((c for c in (32, 16, 8, 4, 2, 1)
+                   if c <= cap and ttot % c == 0), None)
+        if tc is None:
+            continue
+        eff = r * b / b_pad
+        if best is None or eff > best[3]:
+            best = (tc, bt, b_pad, eff)
+    return best
+
+
+from jax.custom_batching import custom_vmap                    # noqa: E402
+
+
+@custom_vmap
+def pdm_words_flat(x, s16):
+    """(x [Ttot, B], s16 [16, B]) -> (words uint32 [Ttot, 8, B], s16').
+
+    Pads the lane axis to the best-effective tile (padded lanes run
+    garbage that is sliced off; real lanes are untouched — every kernel
+    op is lane-wise)."""
+    ttot, b = x.shape
+    tc, bt, b_pad, _ = padded_tiles(ttot, b)
+    if b_pad != b:
+        pad = [(0, 0), (0, b_pad - b)]
+        x = jnp.pad(x, pad)
+        s16 = jnp.pad(s16, pad)
+    words, s16b = pdm_segment_pallas(x, s16, tc=tc, bt=bt)
+    if b_pad != b:
+        words, s16b = words[..., :b], s16b[..., :b]
+    return words, s16b
+
+
+@pdm_words_flat.def_vmap
+def _pdm_words_flat_vmap(axis_size, in_batched, x, s16):
+    """K groups x G lanes -> one [Ttot, K*G] kernel call (see above)."""
+    if not in_batched[0]:
+        x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+    if not in_batched[1]:
+        s16 = jnp.broadcast_to(s16[None], (axis_size,) + s16.shape)
+    k, ttot, g = x.shape
+    xf = jnp.moveaxis(x, 0, 1).reshape(ttot, k * g)
+    sf = jnp.moveaxis(s16, 0, 1).reshape(16, k * g)
+    words, s16b = pdm_words_flat(xf, sf)
+    words = jnp.moveaxis(words.reshape(ttot, 8, k, g), 2, 0)
+    s16b = jnp.moveaxis(s16b.reshape(16, k, g), 1, 0)
+    return (words, s16b), (True, True)

@@ -44,13 +44,21 @@ def test_fori_equals_unrolled_and_golden(rng):
 
 
 def test_pallas_tile_selection():
-    from dspi_tpu.kernels.pdm import _pallas_tiles
+    from dspi_tpu.kernels.pdm import _pallas_worthwhile
+    from dspi_tpu.kernels.pdm_pallas import padded_tiles
 
-    assert _pallas_tiles(3072, 8192) == (16, 8192)
-    assert _pallas_tiles(96, 2048) == (32, 2048)
-    assert _pallas_tiles(2848, 8192) == (16, 8192)   # 44.1 kHz 64-pkt segment
-    assert _pallas_tiles(48, 100) is None            # B not tileable
-    assert _pallas_tiles(47, 1024) == (1, 1024)
+    # exact tilings pick the widest tile, no padding
+    assert padded_tiles(3072, 8192)[:3] == (16, 8192, 8192)
+    assert padded_tiles(2848, 8192)[:3] == (16, 8192, 8192)  # 44.1 kHz 64pkt
+    # non-dividing lane counts pad to the best-effective tile: 8672
+    # (hetero 8 x 1084) pads to 3 x 4096 rather than 2 x 8192
+    tc, bt, b_pad, eff = padded_tiles(3072, 8672)
+    assert (bt, b_pad) == (4096, 12288) and eff > 20000
+    # tiny lane counts lose to the scan lowering
+    assert not _pallas_worthwhile(48, 100)
+    assert not _pallas_worthwhile(96, 256)
+    assert _pallas_worthwhile(96, 2048)
+    assert _pallas_worthwhile(3072, 8672)
 
 
 def test_pallas_equals_fori():
@@ -83,3 +91,46 @@ def test_pallas_equals_fori():
     for f in ("pdm_err", "pdm_err2", "pdm_ns", "pdm_rng", "pdm_fade"):
         np.testing.assert_array_equal(np.asarray(getattr(s1, f)),
                                       np.asarray(getattr(s2, f)), err_msg=f)
+
+
+def test_pallas_padded_lanes_and_vmap_flatten():
+    """Arbitrary B (lane padding) and the custom_vmap group-flattening
+    rule must both be bit-exact vs the scan lowering.  TPU-only: compiles
+    the Mosaic kernel at padded width."""
+    import jax
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiles the Mosaic kernel; TPU only")
+
+    rng = np.random.default_rng(13)
+    T, B = 96, 1100                 # pads to 2048 inside the kernel wrapper
+    x = rng.integers(-(1 << 28), 1 << 28, size=(T, B)).astype(np.int32)
+    st0 = _state(B)._replace(pdm_fade=np.full(B, 990, np.int32))
+    s1, w1 = pdm_segment(st0, x, impl="fori")
+    s2, w2 = pdm_segment(st0, x, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(s1.pdm_rng),
+                                  np.asarray(s2.pdm_rng))
+
+    # vmap over K groups flattens into one wide kernel call (grouped /
+    # hetero serving shape); must equal per-group sequential calls
+    K, G = 3, 900
+    xg = rng.integers(-(1 << 28), 1 << 28, size=(K, T, G)).astype(np.int32)
+    stg = jax.tree.map(
+        lambda v: None if v is None else np.broadcast_to(
+            v[:G] if v.ndim == 1 else v[:, :G],
+            (K,) + ((G,) if v.ndim == 1 else (v.shape[0], G))).copy(),
+        _state(G), is_leaf=lambda v: v is None)
+    sv, wv = jax.vmap(lambda s, xx: pdm_segment(s, xx, impl="pallas"))(
+        stg, xg)
+    for k in range(K):
+        sk, wk = pdm_segment(
+            jax.tree.map(lambda v: None if v is None else v[k], stg,
+                         is_leaf=lambda v: v is None),
+            xg[k], impl="fori")
+        np.testing.assert_array_equal(np.asarray(wv[k]), np.asarray(wk))
+        np.testing.assert_array_equal(np.asarray(sv.pdm_err[k]),
+                                      np.asarray(sk.pdm_err))
+        np.testing.assert_array_equal(np.asarray(sv.pdm_rng[k]),
+                                      np.asarray(sk.pdm_rng))
