@@ -685,6 +685,129 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
 # ---------------------------- Q28 path -------------------------------------
 
 
+def _q28_eq_bt(static, B):
+    """Stream-tile width for the Mosaic Q28 cascade kernels, or None for
+    the lax.scan lowering (CPU backends, variable-packet schedules, or
+    stream counts too small to tile — see kernels/eq_pallas.py)."""
+    import os
+
+    import jax
+
+    impl = os.environ.get("DSPI_EQ_IMPL", "auto")
+    if impl == "scan":
+        return None
+    if impl == "auto" and jax.default_backend() != "tpu":
+        return None
+    if static.schedule:
+        return None
+    from ..kernels.eq_pallas import pick_bt
+
+    return pick_bt(B)
+
+
+def _q28_kernel_master(static, p, st, bl, br, master_bands, bt,
+                       a_rms_q28=None, one_minus=None):
+    """scan_a as two grid-parallel Mosaic cascades (loudness prefix +
+    master bands + leveller envelope); returns (st', bl', br',
+    (env_l, env_r) [Npkt, B] packet-end envelopes | None)."""
+    from ..kernels.eq_pallas import q28_cascades
+
+    B = bl.shape[-1]
+    has_loud = bool(static.loudness_on)
+    has_env = bool(static.leveller_on)
+    n_loud = 2 if has_loud else 0
+    mb = [[t for t in master_bands if t[0] == ch] for ch in range(2)]
+    nb = max(len(mb[0]), len(mb[1]))
+    ident = jnp.asarray(
+        np.array([[C.Q28_ONE, 0, 0, 0, 0]], np.int32))   # exact pass-through
+    cf_ch = []
+    s_ch = []
+    zero = jnp.zeros((B,), jnp.int32)
+    for ch in range(2):
+        rows = []
+        srows = []
+        if has_loud:
+            rows.append(p.loud_qbq)
+            for j in range(2):
+                srows += [st.loud_a[ch, j], st.loud_b[ch, j]]
+        for (c, band, _k) in mb[ch]:
+            rows.append(p.eq_q28[c, band][None])
+            srows += [st.eq_a[c, band], st.eq_b[c, band]]
+        for _ in range(nb - len(mb[ch])):
+            rows.append(ident)
+            srows += [zero, zero]
+        if has_env:
+            srows.append(st.lev_env[ch])
+        cf_ch.append(jnp.concatenate(rows, axis=0) if rows
+                     else jnp.zeros((0, 5), jnp.int32))
+        s_ch.append(jnp.stack(srows))
+    cf = jnp.stack(cf_ch)
+    s0 = jnp.stack(s_ch)
+    if has_loud:
+        byp = p.loud_bypass.astype(jnp.int32)
+        b0, b1 = byp[0], byp[1]
+    else:
+        b0 = b1 = jnp.int32(0)
+    scal = jnp.stack([
+        b0, b1,
+        a_rms_q28 if has_env else jnp.int32(0),
+        one_minus if has_env else jnp.int32(0)])
+    y, env_ends, sF = q28_cascades(
+        jnp.stack([bl, br]), cf, s0, scal, nb=nb, has_loud=has_loud,
+        has_env=has_env, tc=static.block_size, bt=bt)
+    if has_loud:
+        st = st._replace(
+            loud_a=jnp.stack([jnp.stack([sF[0, 0], sF[0, 2]]),
+                              jnp.stack([sF[1, 0], sF[1, 2]])]),
+            loud_b=jnp.stack([jnp.stack([sF[0, 1], sF[0, 3]]),
+                              jnp.stack([sF[1, 1], sF[1, 3]])]))
+    finals = []
+    for t in master_bands:
+        c = t[0]
+        r = 2 * n_loud + 2 * mb[c].index(t)
+        finals.append((sF[c, r], sF[c, r + 1]))
+    st = _scatter_states(static, st, master_bands, finals)
+    env = ((env_ends[0], env_ends[1]) if has_env else None)
+    return st, y[0], y[1], env
+
+
+def _q28_kernel_outeq(static, p, st, bufs, out_bands, bt):
+    """scan_b as grid-parallel Mosaic cascades (one per live output)."""
+    from ..kernels.eq_pallas import q28_cascades
+
+    live = sorted({ch - C.CH_OUT_1 for (ch, _b, _k) in out_bands})
+    per_o = {o: [t for t in out_bands if t[0] - C.CH_OUT_1 == o]
+             for o in live}
+    nb = max(len(v) for v in per_o.values())
+    B = bufs[live[0]].shape[-1]
+    ident = jnp.asarray(np.array([[C.Q28_ONE, 0, 0, 0, 0]], np.int32))
+    zero = jnp.zeros((B,), jnp.int32)
+    cf_g, s_g = [], []
+    for o in live:
+        rows, srows = [], []
+        for (c, band, _k) in per_o[o]:
+            rows.append(p.eq_q28[c, band][None])
+            srows += [st.eq_a[c, band], st.eq_b[c, band]]
+        for _ in range(nb - len(per_o[o])):
+            rows.append(ident)
+            srows += [zero, zero]
+        cf_g.append(jnp.concatenate(rows, axis=0))
+        s_g.append(jnp.stack(srows))
+    scal = jnp.zeros((4,), jnp.int32)
+    y, _, sF = q28_cascades(
+        jnp.stack([bufs[o] for o in live]), jnp.stack(cf_g),
+        jnp.stack(s_g), scal, nb=nb, tc=static.block_size, bt=bt)
+    finals = []
+    for t in out_bands:
+        gi = live.index(t[0] - C.CH_OUT_1)
+        r = 2 * per_o[live[gi]].index(t)
+        finals.append((sF[gi, r], sF[gi, r + 1]))
+    st = _scatter_states(static, st, out_bands, finals)
+    for gi, o in enumerate(live):
+        bufs[o] = y[gi]
+    return st, bufs
+
+
 def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                  x, preset_mute):
     x2, sched, Npkt, Ttot, ends = _segment_layout(static, x)
@@ -708,10 +831,18 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
     br = q28_mul(raw[1], p.unpack_gain[1])
 
     # ---- scan A: loudness + master EQ + leveller env ----
+    eq_bt = _q28_eq_bt(static, bl.shape[-1])
+    env_pkts = None
     if static.loudness_on or master_bands or static.leveller_on:
         if static.leveller_on:
             a_rms_q28 = _f32_to_i32(p.lev[0] * jnp.float32(1 << 28))
             one_minus = jnp.int32(C.Q28_ONE) - a_rms_q28
+        else:
+            a_rms_q28 = one_minus = None
+        if eq_bt is not None:
+            st, bl, br, env_pkts = _q28_kernel_master(
+                static, p, st, bl, br, master_bands, eq_bt,
+                a_rms_q28, one_minus)
 
         def scan_a(carry_a, xt):
             loud, eqs, env = carry_a
@@ -747,29 +878,30 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                 ys = (l_t, r_t)
             return (loud, tuple(eqs_n), env), ys
 
-        loud0 = tuple(
-            (st.loud_a[chi, j], st.loud_b[chi, j])
-            for chi in range(2) for j in range(2))
-        eqs0 = _gather_states(static, st, master_bands)
-        env0 = (st.lev_env[0], st.lev_env[1])
-        (loudF, eqsF, envF), ys = lax.scan(
-            scan_a, (loud0, eqs0, env0), (bl, br), unroll=unroll)
-        if static.leveller_on:
-            bl, br, env_seq_l, env_seq_r = ys
-        else:
-            bl, br = ys
+        if eq_bt is None:
+            loud0 = tuple(
+                (st.loud_a[chi, j], st.loud_b[chi, j])
+                for chi in range(2) for j in range(2))
+            eqs0 = _gather_states(static, st, master_bands)
+            env0 = (st.lev_env[0], st.lev_env[1])
+            (loudF, eqsF, envF), ys = lax.scan(
+                scan_a, (loud0, eqs0, env0), (bl, br), unroll=unroll)
+            if static.leveller_on:
+                bl, br, env_seq_l, env_seq_r = ys
+                env_pkts = (env_seq_l[ends], env_seq_r[ends])
+            else:
+                bl, br = ys
 
-        st = st._replace(
-            loud_a=jnp.stack([jnp.stack([loudF[0][0], loudF[1][0]]),
-                              jnp.stack([loudF[2][0], loudF[3][0]])]),
-            loud_b=jnp.stack([jnp.stack([loudF[0][1], loudF[1][1]]),
-                              jnp.stack([loudF[2][1], loudF[3][1]])]))
-        st = _scatter_states(static, st, master_bands, eqsF)
+            st = st._replace(
+                loud_a=jnp.stack([jnp.stack([loudF[0][0], loudF[1][0]]),
+                                  jnp.stack([loudF[2][0], loudF[3][0]])]),
+                loud_b=jnp.stack([jnp.stack([loudF[0][1], loudF[1][1]]),
+                                  jnp.stack([loudF[2][1], loudF[3][1]])]))
+            st = _scatter_states(static, st, master_bands, eqsF)
 
     # ---- PASS 2.5 leveller block phase (leveller.c:274-389) ----
     if static.leveller_on:
-        env_l = env_seq_l[ends]                          # [Npkt, B] Q28
-        env_r = env_seq_r[ends]
+        env_l, env_r = env_pkts                          # [Npkt, B] Q28
         st = st._replace(lev_env=jnp.stack([env_l[-1], env_r[-1]]))
         inv_q28 = jnp.float32(1.0) / jnp.float32(1 << 28)
         env_l_f = env_l.astype(jnp.float32) * inv_q28
@@ -909,7 +1041,10 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
         bufs.append(dst)
 
     # ---- PASS 5: per-output EQ ----
-    if out_bands:
+    if out_bands and eq_bt is not None:
+        st, bufs = _q28_kernel_outeq(static, p, st, bufs, out_bands,
+                                     eq_bt)
+    elif out_bands:
         def scan_b(eqs, xt):
             eqs_n = list(eqs)
             outs = list(xt)
