@@ -103,14 +103,15 @@ def bench_pdm(b=B, t=NPKT * 48, unroll=None, impl=None, chain_k=8):
     return rtf, best
 
 
-def _hetero_variants(k):
+def _hetero_variants(k, platform=None):
     """k full-chain configs sharing static structure (band kinds, enables,
     delays) but with distinct coefficients — the realistic serving mix."""
     from dspi_tpu.core.constants import Platform
 
+    platform = platform or Platform.RP2350
     cfgs = []
     for i in range(k):
-        cfg = full_chain_config(Platform.RP2350)
+        cfg = full_chain_config(platform)
         for ch in range(cfg.num_channels):
             for b_ in range(10):
                 e = cfg.eq[ch][b_]
@@ -126,7 +127,7 @@ def _fold(out):
                for v in jax.tree.leaves(out))
 
 
-def bench_grouped(k=8, g=None, npkt=None):
+def bench_grouped(k=8, g=None, npkt=None, platform=None):
     """Homogeneous-structure grouped serving: K configs x G streams as one
     vmapped program (the reference number for the hetero ratio)."""
     from jax import lax
@@ -135,7 +136,7 @@ def bench_grouped(k=8, g=None, npkt=None):
 
     g = g or B // k
     npkt = npkt or NPKT
-    eng = GroupedEngine(_hetero_variants(k), streams_per_group=g,
+    eng = GroupedEngine(_hetero_variants(k, platform), streams_per_group=g,
                         emit="reduced", pdm=True, unroll=UNROLL,
                         pdm_fade=False)
     rng = np.random.default_rng(5)
@@ -157,7 +158,7 @@ def bench_grouped(k=8, g=None, npkt=None):
     return rtf, best
 
 
-def bench_hetero(k=8, b=None, npkt=None):
+def bench_hetero(k=8, b=None, npkt=None, platform=None):
     """ARBITRARY per-stream config mix: k configs scattered across b
     streams, bucketed onto the grouped MXU path by HeteroServer
     (round-2 VERDICT #5: target >=70% of the grouped number)."""
@@ -169,8 +170,8 @@ def bench_hetero(k=8, b=None, npkt=None):
     npkt = npkt or NPKT
     rng = np.random.default_rng(5)
     ids = rng.integers(0, k, size=b)
-    srv = HeteroServer(_hetero_variants(k), ids, emit="reduced", pdm=True,
-                       unroll=UNROLL, pdm_fade=False)
+    srv = HeteroServer(_hetero_variants(k, platform), ids, emit="reduced",
+                       pdm=True, unroll=UNROLL, pdm_fade=False)
     x = jax.device_put(rng.integers(
         -16000, 16000, size=(npkt, 2, 48, b)).astype(np.int32))
     pm = jnp.ones((npkt,), jnp.float32)
@@ -268,6 +269,16 @@ def main():
             out["hetero_k8_scattered"] = {"rtf": rtf, "wall": dt,
                                           "padding_waste": waste}
             print(f"hetero 8 cfgs across {B}: {rtf:.0f}x "
+                  f"(padding {100 * waste:.1f}%)", flush=True)
+        elif s == "grouped_q28":
+            rtf, dt = bench_grouped(platform=Platform.RP2040)
+            out["grouped_k8_q28"] = {"rtf": rtf, "wall": dt}
+            print(f"grouped q28 8x{B // 8}: {rtf:.0f}x", flush=True)
+        elif s == "hetero_q28":
+            rtf, dt, waste = bench_hetero(platform=Platform.RP2040)
+            out["hetero_k8_q28"] = {"rtf": rtf, "wall": dt,
+                                    "padding_waste": waste}
+            print(f"hetero q28 8 cfgs across {B}: {rtf:.0f}x "
                   f"(padding {100 * waste:.1f}%)", flush=True)
         elif s == "sched441":
             out["full_44k1_sched"] = {"rtf": bench_sched441()}

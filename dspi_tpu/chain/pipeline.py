@@ -685,27 +685,25 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
 # ---------------------------- Q28 path -------------------------------------
 
 
-def _q28_eq_bt(static, B):
-    """Stream-tile width for the Mosaic Q28 cascade kernels, or None for
-    the lax.scan lowering (CPU backends, variable-packet schedules, or
-    stream counts too small to tile — see kernels/eq_pallas.py)."""
+def _q28_eq_kernel_on(static, B) -> bool:
+    """True when the Mosaic Q28 cascade kernels replace the lax.scan
+    lowering (kernels/eq_pallas.py).  Scan remains for CPU backends,
+    variable-packet schedules (the kernel time-block equals the packet
+    size), and small stream counts where a mostly-idle 128-lane tile
+    loses to the scan; DSPI_EQ_IMPL=scan|pallas forces either."""
     import os
 
     import jax
 
     impl = os.environ.get("DSPI_EQ_IMPL", "auto")
-    if impl == "scan":
-        return None
-    if impl == "auto" and jax.default_backend() != "tpu":
-        return None
-    if static.schedule:
-        return None
-    from ..kernels.eq_pallas import pick_bt
-
-    return pick_bt(B)
+    if impl == "scan" or static.schedule:
+        return False
+    if impl == "pallas":
+        return True
+    return jax.default_backend() == "tpu" and B >= 512
 
 
-def _q28_kernel_master(static, p, st, bl, br, master_bands, bt,
+def _q28_kernel_master(static, p, st, bl, br, master_bands,
                        a_rms_q28=None, one_minus=None):
     """scan_a as two grid-parallel Mosaic cascades (loudness prefix +
     master bands + leveller envelope); returns (st', bl', br',
@@ -748,13 +746,14 @@ def _q28_kernel_master(static, p, st, bl, br, master_bands, bt,
         b0, b1 = byp[0], byp[1]
     else:
         b0 = b1 = jnp.int32(0)
-    scal = jnp.stack([
+    row = jnp.stack([
         b0, b1,
         a_rms_q28 if has_env else jnp.int32(0),
         one_minus if has_env else jnp.int32(0)])
+    scal = jnp.broadcast_to(row[None], (2, 4))     # same for both channels
     y, env_ends, sF = q28_cascades(
         jnp.stack([bl, br]), cf, s0, scal, nb=nb, has_loud=has_loud,
-        has_env=has_env, tc=static.block_size, bt=bt)
+        has_env=has_env, tc=static.block_size)
     if has_loud:
         st = st._replace(
             loud_a=jnp.stack([jnp.stack([sF[0, 0], sF[0, 2]]),
@@ -771,7 +770,7 @@ def _q28_kernel_master(static, p, st, bl, br, master_bands, bt,
     return st, y[0], y[1], env
 
 
-def _q28_kernel_outeq(static, p, st, bufs, out_bands, bt):
+def _q28_kernel_outeq(static, p, st, bufs, out_bands):
     """scan_b as grid-parallel Mosaic cascades (one per live output)."""
     from ..kernels.eq_pallas import q28_cascades
 
@@ -793,10 +792,10 @@ def _q28_kernel_outeq(static, p, st, bufs, out_bands, bt):
             srows += [zero, zero]
         cf_g.append(jnp.concatenate(rows, axis=0))
         s_g.append(jnp.stack(srows))
-    scal = jnp.zeros((4,), jnp.int32)
+    scal = jnp.zeros((len(live), 4), jnp.int32)
     y, _, sF = q28_cascades(
         jnp.stack([bufs[o] for o in live]), jnp.stack(cf_g),
-        jnp.stack(s_g), scal, nb=nb, tc=static.block_size, bt=bt)
+        jnp.stack(s_g), scal, nb=nb, tc=static.block_size)
     finals = []
     for t in out_bands:
         gi = live.index(t[0] - C.CH_OUT_1)
@@ -831,7 +830,7 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
     br = q28_mul(raw[1], p.unpack_gain[1])
 
     # ---- scan A: loudness + master EQ + leveller env ----
-    eq_bt = _q28_eq_bt(static, bl.shape[-1])
+    eq_kern = _q28_eq_kernel_on(static, bl.shape[-1])
     env_pkts = None
     if static.loudness_on or master_bands or static.leveller_on:
         if static.leveller_on:
@@ -839,9 +838,9 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
             one_minus = jnp.int32(C.Q28_ONE) - a_rms_q28
         else:
             a_rms_q28 = one_minus = None
-        if eq_bt is not None:
+        if eq_kern:
             st, bl, br, env_pkts = _q28_kernel_master(
-                static, p, st, bl, br, master_bands, eq_bt,
+                static, p, st, bl, br, master_bands,
                 a_rms_q28, one_minus)
 
         def scan_a(carry_a, xt):
@@ -878,7 +877,7 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                 ys = (l_t, r_t)
             return (loud, tuple(eqs_n), env), ys
 
-        if eq_bt is None:
+        if not eq_kern:
             loud0 = tuple(
                 (st.loud_a[chi, j], st.loud_b[chi, j])
                 for chi in range(2) for j in range(2))
@@ -1041,9 +1040,8 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
         bufs.append(dst)
 
     # ---- PASS 5: per-output EQ ----
-    if out_bands and eq_bt is not None:
-        st, bufs = _q28_kernel_outeq(static, p, st, bufs, out_bands,
-                                     eq_bt)
+    if out_bands and eq_kern:
+        st, bufs = _q28_kernel_outeq(static, p, st, bufs, out_bands)
     elif out_bands:
         def scan_b(eqs, xt):
             eqs_n = list(eqs)

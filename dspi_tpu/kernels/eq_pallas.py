@@ -16,18 +16,31 @@ the GRID (one cascade per grid step, so register pressure stays at the
 single-cascade level), each with
 
   * an optional 2-filter bypassable loudness prefix
-    (usb_audio.c:1022-1031) — coefficient rows shared across cascades,
-    runtime bypass flags in SMEM;
+    (usb_audio.c:1022-1031) with per-cascade runtime bypass flags;
   * ``nb`` TDF2 bands (exact `_band_step_q28` semantics, imported from
     the pipeline so the kernel can never drift from the scan path);
   * an optional leveller RMS envelope tail (leveller.c:150-156 Q28 form)
-    whose value is emitted once per packet (the block phase only ever
-    reads packet-end envelopes), not per sample.
+    with per-cascade alpha, emitted once per packet (the block phase
+    only ever reads packet-end envelopes).
 
-Grid (G, B/bt, Ttot/tc) iterates time innermost; the running states live
+Per-sample vectors are RANK-1 [bt] slices: Mosaic packs 1-D int32
+vectors densely into (8,128) vregs, while a 2-D [R, bt] row layout is
+lane-major and measured 4-5x slower even at R=8/16 — so cascades ride
+the grid, never the sublane axis.  Per-cascade scalars (bypass flags,
+envelope alphas) live in SMEM, indexed by the cascade grid coordinate.
+
+Grid (G, B/bt, Ttot/kt) iterates time innermost; the running states live
 in the state OUTPUT ref (initialized from the input states at the first
 time-block, exactly the pdm_pallas pattern), so state is carried across
-time-blocks without touching HBM.
+time-blocks without touching HBM.  ``kt`` divides the packet size and is
+chosen against a VMEM budget; the kernel requests a 64 MB scoped-vmem
+limit (v5e has 128 MB VMEM — the default 16 MB limit is exceeded at
+serving shapes because XLA also places the small env/state OUTPUT arrays
+in VMEM).  Lane counts pad up to the tile (idle lanes, sliced off), so
+any B works; a custom_vmap rule flattens vmapped group axes into the
+cascade axis — a pure reshape, since the cascade axis is leading — so
+GroupedEngine / HeteroServer RP2040 serving runs one kernel over K*G
+cascades instead of a batched grid of narrow ones.
 
 Bit-exactness: the kernel reuses the pipeline's band-step code on int32
 lanes; Mosaic int32 mul/shift/and semantics match XLA's, and
@@ -44,6 +57,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -51,14 +65,19 @@ from ..core.qmath import q28_mul
 
 
 def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
-                   nb, has_loud, has_env, tc, env_rows):
-    """One (cascade, stream-tile, time-block) grid step."""
+                   nb, has_loud, has_env, kt, per_pkt, env_rows):
+    """One (cascade, stream-tile, time-block) grid step.
+
+    ``kt`` samples per time-block (divides the packet size; chosen
+    against the VMEM budget), ``per_pkt`` time-blocks per packet — the
+    envelope is emitted only at packet-end blocks."""
     from ..chain.pipeline import _band_step_q28, _tdf2_q28_bypassable
 
     if has_env:
         y_ref, env_ref, s_out_ref = out_refs
     else:
         y_ref, s_out_ref = out_refs
+    g = pl.program_id(0)
     ti = pl.program_id(2)
 
     @pl.when(ti == 0)
@@ -68,9 +87,9 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
     cf = cf_ref[0]                                     # [loud+nb, 5]
     n_loud = 2 if has_loud else 0
     if has_loud:
-        byp = (scal_ref[0] != 0, scal_ref[1] != 0)
+        byp = (scal_ref[g, 0] != 0, scal_ref[g, 1] != 0)
     if has_env:
-        a_rms, one_minus = scal_ref[2], scal_ref[3]
+        a_rms, one_minus = scal_ref[g, 2], scal_ref[g, 3]
 
     rows = 2 * (n_loud + nb) + (1 if has_env else 0)
     carry0 = tuple(s_out_ref[0, r] for r in range(rows))
@@ -95,77 +114,144 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
         y_ref[0, i] = cur
         return tuple(st)
 
-    carry = lax.fori_loop(0, tc, body, carry0)
+    carry = lax.fori_loop(0, kt, body, carry0)
     for r in range(rows):
         s_out_ref[0, r] = carry[r]
     if has_env:
-        env_ref[0, lax.rem(ti, env_rows)] = carry[rows - 1]
+        at_pkt_end = lax.rem(ti, per_pkt) == per_pkt - 1
+        env_row = lax.rem(lax.div(ti, per_pkt), env_rows)
+
+        @pl.when(at_pkt_end)
+        def _():
+            env_ref[0, env_row] = carry[rows - 1]
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "has_loud", "has_env",
-                                             "tc", "bt", "interpret"))
-def q28_cascades(x, cf, s0, scalars, *, nb, has_loud=False, has_env=False,
-                 tc=48, bt=8192, interpret=False):
+def _pick_bt(B, bt0=None):
+    """Stream-tile width: minimal padded lanes ceil(B/bt)*bt, ties to the
+    widest tile (fewer grid steps); small B gets one 128-multiple block."""
+    if bt0 is not None:
+        return bt0
+    if B <= 1024:
+        return -(-B // 128) * 128
+    best = None
+    for bt in (8192, 4096, 2048, 1024):
+        key = (-(-B // bt) * bt, -bt)
+        if best is None or key < best[0]:
+            best = (key, bt)
+    return best[1]
+
+
+@functools.lru_cache(maxsize=None)
+def _core(nb, has_loud, has_env, tc, bt0, interpret):
+    n_loud = 2 if has_loud else 0
+
+    def run(x, cf, s0, scal):
+        G, Ttot, B = x.shape
+        S = s0.shape[1]
+        bt = _pick_bt(B, bt0)
+        Bp = -(-B // bt) * bt
+        npkt = Ttot // tc
+        env_rows = 8 if npkt % 8 == 0 else npkt
+
+        # kernel time-block kt divides the packet (envelopes emit only at
+        # packet-end blocks): largest divisor fitting the VMEM budget
+        # (28 MB of the requested 64 MB limit — the other half is
+        # headroom for XLA's own VMEM placement of the small outputs).
+        def est(k):
+            return 4 * bt * (4 * k + 4 * S
+                             + (2 * env_rows if has_env else 0))
+        kt = next((k for k in (tc, tc // 2, tc // 3, tc // 4, tc // 6)
+                   if k and tc % k == 0 and est(k) <= (28 << 20)), 1)
+        per_pkt = tc // kt
+
+        if cf.shape[1] == 0:            # envelope-only cascade: the kernel
+            cfa = jnp.zeros((G, 1, 5), jnp.int32)  # never reads cf, but the
+        else:                                      # block machinery needs rows
+            cfa = cf
+        if Bp != B:                 # idle lanes, sliced off below
+            b_pad = [(0, 0), (0, 0), (0, Bp - B)]
+            x = jnp.pad(x, b_pad)
+            s0 = jnp.pad(s0, b_pad)
+        nr = cfa.shape[1]
+
+        grid = (G, Bp // bt, Ttot // kt)
+        kern = functools.partial(_cascade_block, nb=nb, has_loud=has_loud,
+                                 has_env=has_env, kt=kt, per_pkt=per_pkt,
+                                 env_rows=env_rows)
+        out_shape = [jax.ShapeDtypeStruct((G, Ttot, Bp), jnp.int32)]
+        out_specs = [pl.BlockSpec((1, kt, bt),
+                                  lambda g, bi, ti: (g, ti, bi))]
+        if has_env:
+            # env_rows-packet revisited blocks (ti innermost keeps a
+            # block VMEM-resident across its writes); a full-packet-axis
+            # block would blow the VMEM budget at npkt=128, bt=8192
+            out_shape.append(
+                jax.ShapeDtypeStruct((G, npkt, Bp), jnp.int32))
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, env_rows, bt),
+                    lambda g, bi, ti: (g, (ti // per_pkt) // env_rows,
+                                       bi)))
+        out_shape.append(jax.ShapeDtypeStruct((G, S, Bp), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, S, bt),
+                                      lambda g, bi, ti: (g, 0, bi)))
+        res = pl.pallas_call(
+            kern,
+            grid=grid,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=64 << 20),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nr, 5), lambda g, bi, ti: (g, 0, 0)),
+                pl.BlockSpec((1, kt, bt), lambda g, bi, ti: (g, ti, bi)),
+                pl.BlockSpec((1, S, bt), lambda g, bi, ti: (g, 0, bi)),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(scal, cfa, x, s0)
+        return tuple(v[:, :, :B] for v in res)
+
+    @custom_vmap
+    def core(x, cf, s0, scal):
+        return run(x, cf, s0, scal)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, x, cf, s0, scal):
+        """K vmapped groups -> one call with K*G cascades (pure reshape:
+        the cascade axis is leading)."""
+        args = []
+        for v, b in zip((x, cf, s0, scal), in_batched):
+            if not b:
+                v = jnp.broadcast_to(v[None], (axis_size,) + v.shape)
+            args.append(v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:]))
+        res = core(*args)
+        k = axis_size
+        out = tuple(v.reshape((k, v.shape[0] // k) + v.shape[1:])
+                    for v in res)
+        return out, (True,) * len(out)
+
+    return core
+
+
+def q28_cascades(x, cf, s0, scal, *, nb, has_loud=False, has_env=False,
+                 tc=48, bt=None, interpret=False):
     """Run G Q28 cascades over a segment.
 
     x [G, Ttot, B] int32; cf [G, n_loud+nb, 5] int32; s0 [G, S, B] int32
     with S = 2*(n_loud+nb) + has_env (row layout: loudness pairs, then
-    band (s1, s2) pairs, then the envelope); scalars int32 [4] =
-    (bypass0, bypass1, a_rms_q28, one_minus_q28) (zeros where unused).
+    band (s1, s2) pairs, then the envelope); scal int32 [G, 4] =
+    per-cascade (bypass0, bypass1, a_rms_q28, one_minus_q28) (zeros
+    where unused).
 
     Returns (y [G, Ttot, B], env_ends [G, Ttot//tc, B] | None,
     s_final [G, S, B]).  ``tc`` must equal the packet size when has_env
-    (envelope values are packet-end samples)."""
-    G, Ttot, B = x.shape
-    S = s0.shape[1]
-    if cf.shape[1] == 0:            # envelope-only cascade: the kernel
-        cf = jnp.zeros((G, 1, 5), jnp.int32)  # never reads cf, but the
-    grid = (G, B // bt, Ttot // tc)           # block machinery needs rows
-    npkt = Ttot // tc
-    # env blocks revisit 8 packet rows at a time (ti innermost, so the
-    # block stays VMEM-resident across its 8 writes); a full-packet-axis
-    # block would cost npkt*bt*4 bytes double-buffered — VMEM OOM at
-    # npkt=128, bt=8192.  TPU tiling wants dim -2 divisible by 8 or equal
-    # to the array dim.
-    env_rows = 8 if npkt % 8 == 0 else npkt
-    kern = functools.partial(_cascade_block, nb=nb, has_loud=has_loud,
-                             has_env=has_env, tc=tc, env_rows=env_rows)
-    out_shape = [jax.ShapeDtypeStruct((G, Ttot, B), jnp.int32)]
-    out_specs = [pl.BlockSpec((1, tc, bt), lambda g, bi, ti: (g, ti, bi))]
-    if has_env:
-        out_shape.append(
-            jax.ShapeDtypeStruct((G, npkt, B), jnp.int32))
-        out_specs.append(
-            pl.BlockSpec((1, env_rows, bt),
-                         lambda g, bi, ti: (g, ti // env_rows, bi)))
-    out_shape.append(jax.ShapeDtypeStruct((G, S, B), jnp.int32))
-    out_specs.append(pl.BlockSpec((1, S, bt), lambda g, bi, ti: (g, 0, bi)))
-    res = pl.pallas_call(
-        kern,
-        grid=grid,
-        interpret=interpret,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cf.shape[1], 5), lambda g, bi, ti: (g, 0, 0)),
-            pl.BlockSpec((1, tc, bt), lambda g, bi, ti: (g, ti, bi)),
-            pl.BlockSpec((1, S, bt), lambda g, bi, ti: (g, 0, bi)),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-    )(scalars, cf, x, s0)
+    (envelope values are packet-end samples); ``bt`` overrides the
+    stream-tile auto-selection (tests)."""
+    res = _core(nb, bool(has_loud), bool(has_env), tc, bt,
+                bool(interpret))(x, cf, s0, scal)
     if has_env:
         y, env_ends, s_final = res
         return y, env_ends, s_final
     y, s_final = res
     return y, None, s_final
-
-
-def pick_bt(B, cap=8192):
-    """Largest power-of-two stream tile dividing B (>=128 lanes), or None
-    if B cannot be tiled (kernel caller falls back to the XLA scan)."""
-    bt = cap
-    while bt >= 128:
-        if B % bt == 0:
-            return bt
-        bt //= 2
-    return None
