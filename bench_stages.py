@@ -3,7 +3,7 @@
 
 Usage:  python bench_stages.py [stage ...]
 Stages: pdm chain wire nopdm passthrough peq full96 q28 grouped hetero
-        sweep
+        grouped_q28 hetero_q28 sched441 sched441_q28 sweep
 Env:    DSPI_BENCH_STREAMS, DSPI_BENCH_PACKETS, DSPI_BENCH_UNROLL,
         DSPI_PDM_IMPL, DSPI_PDM_UNROLL
 
@@ -192,15 +192,17 @@ def bench_hetero(k=8, b=None, npkt=None, platform=None):
     return rtf, best, srv.padding_waste
 
 
-def bench_sched441(b=B, n_pairs=64):
+def bench_sched441(b=B, n_pairs=64, platform=None):
     """Full chain at 44.1 kHz with the firmware's 44/45 variable-packet
     cadence compiled in (thin wrapper over bench.bench_engine)."""
     from dspi_tpu.core.constants import Platform
 
-    cfg = full_chain_config(Platform.RP2350, sample_rate=44100.0)
+    platform = platform or Platform.RP2350
+    cfg = full_chain_config(platform, sample_rate=44100.0)
     rtf, _ = bench_engine(cfg, b, None, ITERS, UNROLL,
                           schedule=(44, 45) * n_pairs)
-    print(f"44.1k sched full chain: {rtf:.0f}x", flush=True)
+    print(f"44.1k sched full chain ({platform.value}): {rtf:.0f}x",
+          flush=True)
     return rtf
 
 
@@ -282,6 +284,9 @@ def main():
                   f"(padding {100 * waste:.1f}%)", flush=True)
         elif s == "sched441":
             out["full_44k1_sched"] = {"rtf": bench_sched441()}
+        elif s == "sched441_q28":
+            out["full_44k1_sched_q28"] = {
+                "rtf": bench_sched441(platform=Platform.RP2040)}
         else:
             print(f"unknown stage {s}", file=sys.stderr)
             continue

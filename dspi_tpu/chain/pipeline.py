@@ -687,16 +687,16 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
 
 def _q28_eq_kernel_on(static, B) -> bool:
     """True when the Mosaic Q28 cascade kernels replace the lax.scan
-    lowering (kernels/eq_pallas.py).  Scan remains for CPU backends,
-    variable-packet schedules (the kernel time-block equals the packet
-    size), and small stream counts where a mostly-idle 128-lane tile
-    loses to the scan; DSPI_EQ_IMPL=scan|pallas forces either."""
+    lowering (kernels/eq_pallas.py).  Scan remains for CPU backends and
+    small stream counts where a mostly-idle 128-lane tile loses to the
+    scan; variable-packet schedules ride the kernel's dense-envelope
+    mode; DSPI_EQ_IMPL=scan|pallas forces either."""
     import os
 
     import jax
 
     impl = os.environ.get("DSPI_EQ_IMPL", "auto")
-    if impl == "scan" or static.schedule:
+    if impl == "scan":
         return False
     if impl == "pallas":
         return True
@@ -753,7 +753,8 @@ def _q28_kernel_master(static, p, st, bl, br, master_bands,
     scal = jnp.broadcast_to(row[None], (2, 4))     # same for both channels
     y, env_ends, sF = q28_cascades(
         jnp.stack([bl, br]), cf, s0, scal, nb=nb, has_loud=has_loud,
-        has_env=has_env, tc=static.block_size)
+        has_env=has_env, tc=static.block_size,
+        sched=static.schedule or None)
     if has_loud:
         st = st._replace(
             loud_a=jnp.stack([jnp.stack([sF[0, 0], sF[0, 2]]),
@@ -795,7 +796,8 @@ def _q28_kernel_outeq(static, p, st, bufs, out_bands):
     scal = jnp.zeros((len(live), 4), jnp.int32)
     y, _, sF = q28_cascades(
         jnp.stack([bufs[o] for o in live]), jnp.stack(cf_g),
-        jnp.stack(s_g), scal, nb=nb, tc=static.block_size)
+        jnp.stack(s_g), scal, nb=nb, tc=static.block_size,
+        sched=static.schedule or None)
     finals = []
     for t in out_bands:
         gi = live.index(t[0] - C.CH_OUT_1)

@@ -65,12 +65,19 @@ from ..core.qmath import q28_mul
 
 
 def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
-                   nb, has_loud, has_env, kt, per_pkt, env_rows):
+                   nb, has_loud, has_env, kt, per_pkt, env_rows,
+                   env_dense, t_real):
     """One (cascade, stream-tile, time-block) grid step.
 
     ``kt`` samples per time-block (divides the packet size; chosen
     against the VMEM budget), ``per_pkt`` time-blocks per packet — the
-    envelope is emitted only at packet-end blocks."""
+    envelope is emitted only at packet-end blocks.  ``env_dense`` emits
+    the envelope every sample instead (variable-packet schedules, where
+    packet ends do not align to time-blocks; the caller gathers the
+    static end indices).  ``t_real`` (scheduled segments whose length
+    is not a multiple of kt) bounds the final block's loop to the real
+    samples — the time axis is padded to the kt grid, and the state
+    must freeze after the last real sample."""
     from ..chain.pipeline import _band_step_q28, _tdf2_q28_bypassable
 
     if has_env:
@@ -111,13 +118,19 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
         if has_env:
             sq = q28_mul(cur, cur)
             st[r] = q28_mul(a_rms, st[r]) + q28_mul(one_minus, sq)
+            if env_dense:
+                env_ref[0, i] = st[r]
         y_ref[0, i] = cur
         return tuple(st)
 
-    carry = lax.fori_loop(0, kt, body, carry0)
+    if t_real is None:
+        n = kt
+    else:                            # partial final block (time padding)
+        n = jnp.minimum(kt, t_real - ti * kt)
+    carry = lax.fori_loop(0, n, body, carry0)
     for r in range(rows):
         s_out_ref[0, r] = carry[r]
-    if has_env:
+    if has_env and not env_dense:
         at_pkt_end = lax.rem(ti, per_pkt) == per_pkt - 1
         env_row = lax.rem(lax.div(ti, per_pkt), env_rows)
 
@@ -142,27 +155,44 @@ def _pick_bt(B, bt0=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _core(nb, has_loud, has_env, tc, bt0, interpret):
+def _core(nb, has_loud, has_env, tc, sched, bt0, interpret):
     n_loud = 2 if has_loud else 0
+    env_dense = bool(has_env and sched)
 
     def run(x, cf, s0, scal):
         G, Ttot, B = x.shape
         S = s0.shape[1]
         bt = _pick_bt(B, bt0)
         Bp = -(-B // bt) * bt
-        npkt = Ttot // tc
-        env_rows = 8 if npkt % 8 == 0 else npkt
+        if sched:
+            npkt, env_rows = len(sched), 1
+        else:
+            npkt = Ttot // tc
+            env_rows = 8 if npkt % 8 == 0 else npkt
 
-        # kernel time-block kt divides the packet (envelopes emit only at
-        # packet-end blocks): largest divisor fitting the VMEM budget
-        # (28 MB of the requested 64 MB limit — the other half is
-        # headroom for XLA's own VMEM placement of the small outputs).
+        # kernel time-block kt: largest divisor of the packet size
+        # (uniform chains — envelopes emit only at packet-end blocks) or
+        # of the whole segment (schedules — dense envelopes) fitting the
+        # VMEM budget (28 MB of the requested 64 MB limit; the other
+        # half is headroom for XLA's own VMEM placement of the small
+        # outputs).
         def est(k):
-            return 4 * bt * (4 * k + 4 * S
-                             + (2 * env_rows if has_env else 0))
-        kt = next((k for k in (tc, tc // 2, tc // 3, tc // 4, tc // 6)
-                   if k and tc % k == 0 and est(k) <= (28 << 20)), 1)
-        per_pkt = tc // kt
+            env = (2 * k if env_dense else
+                   2 * env_rows if has_env else 0)
+            return 4 * bt * (4 * k + 4 * S + env)
+        if sched:
+            # any multiple-of-8 block (TPU sublane rule); the time axis
+            # pads to the kt grid and the kernel's dynamic loop bound
+            # freezes state after the last real sample
+            kt = next((k for k in (96, 64, 48, 32, 24, 16, 8)
+                       if est(k) <= (28 << 20)), 8)
+            per_pkt = 1
+        else:
+            kt = next((k for k in (tc, tc // 2, tc // 3, tc // 4,
+                                   tc // 6)
+                       if k and tc % k == 0 and est(k) <= (28 << 20)), 1)
+            per_pkt = tc // kt
+        Tp = -(-Ttot // kt) * kt
 
         if cf.shape[1] == 0:            # envelope-only cascade: the kernel
             cfa = jnp.zeros((G, 1, 5), jnp.int32)  # never reads cf, but the
@@ -172,16 +202,26 @@ def _core(nb, has_loud, has_env, tc, bt0, interpret):
             b_pad = [(0, 0), (0, 0), (0, Bp - B)]
             x = jnp.pad(x, b_pad)
             s0 = jnp.pad(s0, b_pad)
-        nr = cfa.shape[1]
+        if Tp != Ttot:              # time pads to the kt grid; the
+            x = jnp.pad(x, [(0, 0), (0, Tp - Ttot), (0, 0)])
+        nr = cfa.shape[1]           # kernel's loop bound stops at Ttot
 
-        grid = (G, Bp // bt, Ttot // kt)
+        grid = (G, Bp // bt, Tp // kt)
         kern = functools.partial(_cascade_block, nb=nb, has_loud=has_loud,
                                  has_env=has_env, kt=kt, per_pkt=per_pkt,
-                                 env_rows=env_rows)
-        out_shape = [jax.ShapeDtypeStruct((G, Ttot, Bp), jnp.int32)]
+                                 env_rows=env_rows, env_dense=env_dense,
+                                 t_real=Ttot if Tp != Ttot else None)
+        out_shape = [jax.ShapeDtypeStruct((G, Tp, Bp), jnp.int32)]
         out_specs = [pl.BlockSpec((1, kt, bt),
                                   lambda g, bi, ti: (g, ti, bi))]
-        if has_env:
+        if env_dense:
+            # per-sample envelopes, same blocking as y; packet ends are
+            # gathered below (static indices)
+            out_shape.append(
+                jax.ShapeDtypeStruct((G, Tp, Bp), jnp.int32))
+            out_specs.append(pl.BlockSpec((1, kt, bt),
+                                          lambda g, bi, ti: (g, ti, bi)))
+        elif has_env:
             # env_rows-packet revisited blocks (ti innermost keeps a
             # block VMEM-resident across its writes); a full-packet-axis
             # block would blow the VMEM budget at npkt=128, bt=8192
@@ -210,7 +250,17 @@ def _core(nb, has_loud, has_env, tc, bt0, interpret):
             out_specs=out_specs,
             out_shape=out_shape,
         )(scal, cfa, x, s0)
-        return tuple(v[:, :, :B] for v in res)
+        res = tuple(v[:, :, :B] for v in res)
+        if Tp != Ttot:                     # drop padded time rows (y, env)
+            res = list(res)
+            res[0] = res[0][:, :Ttot]
+            if env_dense:
+                res[1] = res[1][:, :Ttot]
+            res = tuple(res)
+        if env_dense:                      # dense -> packet-end envelopes
+            ends = np.cumsum(np.asarray(sched, np.int64)) - 1
+            res = (res[0], res[1][:, ends, :], res[2])
+        return res
 
     @custom_vmap
     def core(x, cf, s0, scal):
@@ -235,7 +285,7 @@ def _core(nb, has_loud, has_env, tc, bt0, interpret):
 
 
 def q28_cascades(x, cf, s0, scal, *, nb, has_loud=False, has_env=False,
-                 tc=48, bt=None, interpret=False):
+                 tc=48, sched=None, bt=None, interpret=False):
     """Run G Q28 cascades over a segment.
 
     x [G, Ttot, B] int32; cf [G, n_loud+nb, 5] int32; s0 [G, S, B] int32
@@ -244,11 +294,15 @@ def q28_cascades(x, cf, s0, scal, *, nb, has_loud=False, has_env=False,
     per-cascade (bypass0, bypass1, a_rms_q28, one_minus_q28) (zeros
     where unused).
 
-    Returns (y [G, Ttot, B], env_ends [G, Ttot//tc, B] | None,
+    Returns (y [G, Ttot, B], env_ends [G, Npkt, B] | None,
     s_final [G, S, B]).  ``tc`` must equal the packet size when has_env
-    (envelope values are packet-end samples); ``bt`` overrides the
-    stream-tile auto-selection (tests)."""
-    res = _core(nb, bool(has_loud), bool(has_env), tc, bt,
+    (envelope values are packet-end samples); a variable-packet
+    ``sched`` tuple (e.g. the 44.1 kHz 44/45 cadence) replaces ``tc``
+    and switches the envelope to dense emission with a static
+    packet-end gather; ``bt`` overrides the stream-tile auto-selection
+    (tests)."""
+    res = _core(nb, bool(has_loud), bool(has_env), tc,
+                tuple(sched) if sched else None, bt,
                 bool(interpret))(x, cf, s0, scal)
     if has_env:
         y, env_ends, s_final = res

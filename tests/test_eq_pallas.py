@@ -190,6 +190,52 @@ def test_grouped_engine_kernel_equals_scan(rng):
             err_msg=k)
 
 
+def test_engine_kernel_equals_scan_scheduled(rng):
+    """RP2040 engine with the 44.1 kHz 44/45 variable-packet schedule:
+    the kernel's dense-envelope mode (packet ends gathered at static
+    indices) must be word-identical to the scan path."""
+    if not ON_TPU:
+        pytest.skip("engine-level kernel path compiles Mosaic; TPU only")
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.core.constants import Platform
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util import rich_config
+
+    sched = (44, 45) * 4
+    cfg = rich_config(Platform.RP2040, sample_rate=44100.0)
+    B = 256
+    x = rng.integers(-16000, 16000,
+                     size=(2, sum(sched), B)).astype(np.int32)
+
+    outs = {}
+    for impl in ("scan", "pallas"):
+        os.environ["DSPI_EQ_IMPL"] = impl
+        try:
+            eng = Engine(cfg, n_streams=B, pdm=True, unroll=4,
+                         schedule=sched)
+            o1 = eng.process(x)
+            o2 = eng.process(x)
+            outs[impl] = (o1, o2, eng.state)
+        finally:
+            os.environ.pop("DSPI_EQ_IMPL", None)
+
+    for seg in range(2):
+        a, b = outs["scan"][seg], outs["pallas"][seg]
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=f"seg{seg}:{k}")
+    sa, sb = outs["scan"][2], outs["pallas"][2]
+    for f in sa._fields:
+        va, vb = getattr(sa, f), getattr(sb, f)
+        if va is None:
+            assert vb is None
+            continue
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=f)
+
+
 def test_engine_kernel_equals_scan(rng):
     """Full RP2040 engine: Mosaic cascades vs lax.scan, word-for-word
     (outputs AND carried state after multiple segments)."""
