@@ -14,7 +14,12 @@ from pathlib import Path
 
 import numpy as np
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+# repo-relative by default; DSPI_NATIVE_DIR points installed packages at
+# a checkout of native/ (the library is the test oracle + host framing
+# helpers — optional at runtime by design)
+_NATIVE_DIR = Path(os.environ.get(
+    "DSPI_NATIVE_DIR",
+    Path(__file__).resolve().parent.parent / "native"))
 _LIB_PATH = _NATIVE_DIR / "libdspi_host.so"
 _lib = None
 _tried = False
