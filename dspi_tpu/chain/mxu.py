@@ -69,10 +69,11 @@ class _Layout(NamedTuple):
     pad_mask: np.ndarray    # [Npkt, Tmax] True on real samples
     tt: np.ndarray          # [Ttot] within-packet index per flat sample
     kk: np.ndarray          # [Ttot] packet index per flat sample
+    period: int | None      # repeating-pattern length (None: aperiodic)
 
 
 def _sched_layout(static, Npkt) -> _Layout:
-    from .pipeline import _ramp_indices
+    from .pipeline import _pattern_len, _ramp_indices
 
     if static.schedule:
         sched = np.asarray(static.schedule, np.int64)
@@ -85,14 +86,32 @@ def _sched_layout(static, Npkt) -> _Layout:
     pad_mask = (np.arange(Tmax)[None, :] < sched[:, None])
     tt, kk = _ramp_indices(sched)
     return _Layout(sched, Tmax, bool((sched == Tmax).all()),
-                   pad_idx, pad_mask, tt, kk)
+                   pad_idx, pad_mask, tt, kk, _pattern_len(sched))
 
 
 def _to_packets(x_flat, layout: _Layout):
-    """[Ttot, B] -> [Npkt, Tmax, B]; padded samples forced to zero."""
+    """[Ttot, B] -> [Npkt, Tmax, B]; padded samples forced to zero.
+
+    Periodic schedules use pure reshapes + static slices (a period of
+    sum(pattern) samples repeats, so each pattern position is a strided
+    slice) — no gathers; aperiodic schedules keep the gather+mask."""
     if layout.uniform:
         return x_flat.reshape(len(layout.sched), layout.tmax,
                               x_flat.shape[-1])
+    if layout.period:
+        p, Tmax = layout.period, layout.tmax
+        pat = layout.sched[:p]
+        nper = len(layout.sched) // p
+        xg = x_flat.reshape(nper, int(pat.sum()), x_flat.shape[-1])
+        offs = np.concatenate([[0], np.cumsum(pat)[:-1]])
+        cols = []
+        for j in range(p):
+            s = int(pat[j])
+            blk = xg[:, int(offs[j]):int(offs[j]) + s]
+            if s < Tmax:
+                blk = jnp.pad(blk, [(0, 0), (0, Tmax - s), (0, 0)])
+            cols.append(blk)
+        return jnp.stack(cols, axis=1).reshape(-1, Tmax, x_flat.shape[-1])
     return (x_flat[layout.pad_idx]
             * layout.pad_mask[:, :, None].astype(x_flat.dtype))
 
@@ -102,6 +121,14 @@ def _to_flat(y_pkts, layout: _Layout):
     if layout.uniform:
         n, t, b = y_pkts.shape
         return y_pkts.reshape(n * t, b)
+    if layout.period:
+        p = layout.period
+        pat = layout.sched[:p]
+        nper = len(layout.sched) // p
+        yg = y_pkts.reshape((nper, p) + y_pkts.shape[1:])
+        parts = [yg[:, j, :int(pat[j])] for j in range(p)]
+        flat = jnp.concatenate(parts, axis=1)
+        return flat.reshape((-1,) + y_pkts.shape[2:])
     return y_pkts[layout.kk, layout.tt]
 
 
@@ -127,15 +154,28 @@ def _embed(M_s, s, S, Tmax, n_io):
     return out.at[n_io * Tmax:, n_io * Tmax:].set(M_s[n_io * s:, n_io * s:])
 
 
+class _PatM(NamedTuple):
+    """Block matrices per pattern position ([p, ...]) for periodic
+    schedules: the hoisted input matmuls run with p SHARED matrices over
+    nper-packet groups (p=2 for 44/45 — two full-width MXU matmuls)
+    instead of Npkt per-packet matrices."""
+
+    M: jnp.ndarray
+
+
 def _build_seq(build_for_size, layout, S, n_io):
     """One padded matrix per distinct packet size, gathered per packet.
 
-    ``build_for_size(s) -> M_s [(n_io*s+S), (n_io*s+S)]``.  Returns either
-    a single matrix (uniform schedule) or [Npkt, R, R]."""
+    ``build_for_size(s) -> M_s [(n_io*s+S), (n_io*s+S)]``.  Returns a
+    single matrix (uniform), per-pattern-position matrices (periodic,
+    wrapped in _PatM), or [Npkt, R, R] (aperiodic)."""
     if layout.uniform:
         return build_for_size(layout.tmax)
     mats = {s: _embed(build_for_size(s), s, S, layout.tmax, n_io)
             for s in sorted({int(v) for v in layout.sched})}
+    if layout.period:
+        return _PatM(jnp.stack(
+            [mats[int(s)] for s in layout.sched[:layout.period]]))
     return jnp.stack([mats[int(s)] for s in layout.sched])
 
 
@@ -173,17 +213,34 @@ def _apply_blocked(M, Ry, S, x_pkts, s0):
     state through tiny state matmuls — the per-packet data choreography
     (slice/update of [Npkt, ...] buffers inside a while loop) drops away.
 
-    M [Ry+S, Cx+S] (shared) or [Npkt, Ry+S, Cx+S] (per-packet, scheduled);
+    M [Ry+S, Cx+S] (shared), _PatM([p, Ry+S, Cx+S]) (periodic schedule),
+    or [Npkt, Ry+S, Cx+S] (per-packet, aperiodic schedule);
     x_pkts [Npkt, Cx, B]; s0 [S, B].
     Returns (sF [S, B], y [Npkt, Ry, B])."""
-    seq = M.ndim == 3
-    Cx = M.shape[-1] - S
-    Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
-    V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
-    pre = "p" if seq else ""
-    yx = jnp.einsum(f"{pre}ij,pjb->pib", Tx, x_pkts, precision=_HI)
-    vx = jnp.einsum(f"{pre}sj,pjb->psb", V, x_pkts, precision=_HI)
-    xs = (yx, vx, U, W) if seq else (yx, vx)
+    if isinstance(M, _PatM):
+        Mp = M.M                                    # [p, R, C]
+        p = Mp.shape[0]
+        Npkt = x_pkts.shape[0]
+        Cx = Mp.shape[-1] - S
+        Tx, U = Mp[:, :Ry, :Cx], Mp[:, :Ry, Cx:]
+        V, W = Mp[:, Ry:, :Cx], Mp[:, Ry:, Cx:]
+        xg = x_pkts.reshape(Npkt // p, p, Cx, -1)
+        yx = jnp.einsum("qij,nqjb->nqib", Tx, xg,
+                        precision=_HI).reshape(Npkt, Ry, -1)
+        vx = jnp.einsum("qsj,nqjb->nqsb", V, xg,
+                        precision=_HI).reshape(Npkt, S, -1)
+        xs = (yx, vx, jnp.tile(U, (Npkt // p, 1, 1)),
+              jnp.tile(W, (Npkt // p, 1, 1)))
+        seq = True
+    else:
+        seq = M.ndim == 3
+        Cx = M.shape[-1] - S
+        Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
+        V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
+        pre = "p" if seq else ""
+        yx = jnp.einsum(f"{pre}ij,pjb->pib", Tx, x_pkts, precision=_HI)
+        vx = jnp.einsum(f"{pre}sj,pjb->psb", V, x_pkts, precision=_HI)
+        xs = (yx, vx, U, W) if seq else (yx, vx)
 
     def body(s, xk):
         if seq:
@@ -200,17 +257,34 @@ def _apply_blocked(M, Ry, S, x_pkts, s0):
 def _apply_blocked_batched(M, Ry, S, x_pkts, s0):
     """Batched _apply_blocked over a leading group axis.
 
-    M [G, Ry+S, Cx+S] or per-packet [Npkt, G, Ry+S, Cx+S];
+    M [G, Ry+S, Cx+S], _PatM([p, G, Ry+S, Cx+S]) (periodic schedule), or
+    per-packet [Npkt, G, Ry+S, Cx+S];
     x_pkts [Npkt, G, Cx, B]; s0 [G, S, B].
     Returns (sF [G, S, B], y [Npkt, G, Ry, B])."""
-    seq = M.ndim == 4
-    Cx = M.shape[-1] - S
-    Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
-    V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
-    pre = "p" if seq else ""
-    yx = jnp.einsum(f"{pre}gij,pgjb->pgib", Tx, x_pkts, precision=_HI)
-    vx = jnp.einsum(f"{pre}gsj,pgjb->pgsb", V, x_pkts, precision=_HI)
-    xs = (yx, vx, U, W) if seq else (yx, vx)
+    if isinstance(M, _PatM):
+        Mp = M.M                                    # [p, G, R, C]
+        p = Mp.shape[0]
+        Npkt, G = x_pkts.shape[:2]
+        Cx = Mp.shape[-1] - S
+        Tx, U = Mp[..., :Ry, :Cx], Mp[..., :Ry, Cx:]
+        V, W = Mp[..., Ry:, :Cx], Mp[..., Ry:, Cx:]
+        xg = x_pkts.reshape((Npkt // p, p) + x_pkts.shape[1:])
+        yx = jnp.einsum("qgij,nqgjb->nqgib", Tx, xg,
+                        precision=_HI).reshape((Npkt, G, Ry, -1))
+        vx = jnp.einsum("qgsj,nqgjb->nqgsb", V, xg,
+                        precision=_HI).reshape((Npkt, G, S, -1))
+        xs = (yx, vx, jnp.tile(U, (Npkt // p, 1, 1, 1)),
+              jnp.tile(W, (Npkt // p, 1, 1, 1)))
+        seq = True
+    else:
+        seq = M.ndim == 4
+        Cx = M.shape[-1] - S
+        Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
+        V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
+        pre = "p" if seq else ""
+        yx = jnp.einsum(f"{pre}gij,pgjb->pgib", Tx, x_pkts, precision=_HI)
+        vx = jnp.einsum(f"{pre}gsj,pgjb->pgsb", V, x_pkts, precision=_HI)
+        xs = (yx, vx, U, W) if seq else (yx, vx)
 
     def body(s, xk):
         if seq:
@@ -516,7 +590,11 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
             mats = {s: jnp.stack([_embed(m, s, S_max, Tmax, 1)
                                   for m in build_group(s)])
                     for s in sorted({int(v) for v in sched})}
-            M_o = jnp.stack([mats[int(s)] for s in sched])
+            if layout.period:
+                M_o = _PatM(jnp.stack(
+                    [mats[int(s)] for s in sched[:layout.period]]))
+            else:
+                M_o = jnp.stack([mats[int(s)] for s in sched])
 
         s_rows = []
         for o in live:

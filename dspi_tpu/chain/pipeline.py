@@ -251,11 +251,50 @@ def _ramp_indices(sched):
     return tt, kk
 
 
+def _pattern_len(sched: np.ndarray):
+    """Smallest p with sched = tile(sched[:p]) — e.g. 2 for the 44.1 kHz
+    (44, 45) cadence, 1 for uniform.  TPU gathers are scalar-core-driven
+    and slow, so periodic schedules take reshape/slice packet
+    choreography instead (here and in chain/mxu.py)."""
+    n = len(sched)
+    for p in range(1, n // 2 + 1):
+        if n % p == 0 and bool(
+                (sched == np.tile(sched[:p], n // p)).all()):
+            return p
+    return None
+
+
+def _pkts_to_flat(arr, sched, Ttot):
+    """[Npkt, Tmax, ...] -> [Ttot, ...], dropping each packet's padded
+    tail rows.  Periodic schedules use static slices (no gathers)."""
+    sched = np.asarray(sched, np.int64)
+    p = _pattern_len(sched)
+    if p:
+        pat = sched[:p]
+        nper = len(sched) // p
+        g = arr.reshape((nper, p) + arr.shape[1:])
+        parts = [g[:, j, :int(pat[j])] for j in range(p)]
+        return jnp.concatenate(parts, axis=1).reshape(
+            (Ttot,) + arr.shape[2:])
+    tt, kk = _ramp_indices(sched)
+    return arr[kk, tt]
+
+
 def _per_packet(vals, sched, Ttot):
     """Broadcast a per-packet [Npkt, 1|B] array to [Ttot, 1|B] along the
     (static) schedule."""
-    return jnp.repeat(vals, np.asarray(sched), axis=0,
-                      total_repeat_length=Ttot)
+    sched = np.asarray(sched, np.int64)
+    p = _pattern_len(sched)
+    if p:
+        pat = sched[:p]
+        nper = len(sched) // p
+        g = vals.reshape((nper, p) + vals.shape[1:])
+        parts = [jnp.broadcast_to(g[:, j:j + 1],
+                                  (nper, int(pat[j])) + vals.shape[1:])
+                 for j in range(p)]
+        return jnp.concatenate(parts, axis=1).reshape(
+            (Ttot,) + vals.shape[1:])
+    return jnp.repeat(vals, sched, axis=0, total_repeat_length=Ttot)
 
 
 def _unflatten(arrs, Npkt, T):
@@ -513,8 +552,8 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
             _, gains_t = lax.scan(ramp, start, None, length=Tmax,
                                   unroll=unroll)
             if static.schedule:
-                tt, kk = _ramp_indices(sched)
-                gains = gains_t[tt, kk]                 # [Ttot, B]
+                gains = _pkts_to_flat(jnp.swapaxes(gains_t, 0, 1),
+                                      sched, Ttot)      # [Ttot, B]
             else:
                 gains = jnp.swapaxes(gains_t, 0, 1).reshape(Ttot, -1)
 
@@ -970,8 +1009,7 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
                     jnp.asarray(sched == 1)[:, None, None],
                     g_cur_p[:, None, :], gains_full)
             if static.schedule:
-                tt, kk = _ramp_indices(sched)
-                gains = gains_full[kk, tt]               # [Ttot, B]
+                gains = _pkts_to_flat(gains_full, sched, Ttot)
             else:
                 gains = gains_full.reshape(Ttot, -1)
 

@@ -95,6 +95,25 @@ def test_mxu_variable_schedule_matches_scan(rng):
     assert _rel_rms(outs[True], outs[False]) < 1e-6
 
 
+def test_mxu_firmware_cadence_periodic_matches_scan(rng):
+    """The firmware's real 44.1 kHz cadence (nine 44s then a 45, repeating)
+    takes the period-10 reshape choreography in _to_packets/_apply_blocked;
+    hold it to the scan path like the alternating case above."""
+    cfg = rich_config(Platform.RP2350, sample_rate=44100.0, pdm=False)
+    sched = ((44,) * 9 + (45,)) * 2
+    from dspi_tpu.chain.pipeline import _pattern_len
+    assert _pattern_len(np.asarray(sched)) == 10
+    x = rng.integers(-16000, 16000,
+                     size=(2, sum(sched), 3)).astype(np.int32)
+    outs = {}
+    for mxu in (False, True):
+        eng = Engine(cfg, n_streams=3, schedule=sched, pdm=False, mxu=mxu,
+                     unroll=4)
+        eng.process(x)
+        outs[mxu] = np.asarray(eng.process(x)["out"])
+    assert _rel_rms(outs[True], outs[False]) < 1e-6
+
+
 def test_mxu_survives_update_config(rng):
     cfg = rich_config(Platform.RP2350)
     eng = Engine(cfg, n_streams=2, block_size=BLOCK, pdm=False, mxu=True)
