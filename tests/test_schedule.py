@@ -63,6 +63,29 @@ def test_q28_44k1_schedule_bitexact(rng):
     np.testing.assert_array_equal(np.asarray(out["pdm"]), want_pdm)
 
 
+def test_q28_periodic_cadence_bitexact(rng):
+    """The pure repeating cadence (nine 44s then a 45, tiled) takes the
+    periodic reshape/slice choreography in _pkts_to_flat/_per_packet
+    instead of gathers — hold it bit-exact against the golden device."""
+    from dspi_tpu.chain.pipeline import _pattern_len
+    sched = ((44,) * 9 + (45,)) * 2
+    assert _pattern_len(np.asarray(sched)) == 10
+    cfg = rich_config(Platform.RP2040, sample_rate=44100.0)
+    eng = Engine(cfg, n_streams=B, schedule=sched, unroll=4)
+    x = rng.integers(-16000, 16000,
+                     size=(2, sum(sched), B)).astype(np.int32)
+
+    out = eng.process(x)
+    goldens = _golden_scheduled(cfg, x, sched)
+    want = _stack_time(goldens, "buf_out")
+    np.testing.assert_array_equal(np.asarray(out["out"]), want)
+
+    want_pdm = np.stack(
+        [np.array([w for p in pkts for w in p["pdm_words"]],
+                  np.uint32).reshape(-1, 8) for pkts in goldens], axis=-1)
+    np.testing.assert_array_equal(np.asarray(out["pdm"]), want_pdm)
+
+
 def test_float_44k1_schedule(rng):
     cfg = rich_config(Platform.RP2350, sample_rate=44100.0, pdm=False)
     eng = Engine(cfg, n_streams=B, schedule=SCHEDULE, pdm=False, unroll=4)
