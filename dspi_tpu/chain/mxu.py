@@ -225,22 +225,31 @@ def _apply_blocked(M, Ry, S, x_pkts, s0):
         Tx, U = Mp[:, :Ry, :Cx], Mp[:, :Ry, Cx:]
         V, W = Mp[:, Ry:, :Cx], Mp[:, Ry:, Cx:]
         xg = x_pkts.reshape(Npkt // p, p, Cx, -1)
-        yx = jnp.einsum("qij,nqjb->nqib", Tx, xg,
-                        precision=_HI).reshape(Npkt, Ry, -1)
-        vx = jnp.einsum("qsj,nqjb->nqsb", V, xg,
-                        precision=_HI).reshape(Npkt, S, -1)
-        xs = (yx, vx, jnp.tile(U, (Npkt // p, 1, 1)),
-              jnp.tile(W, (Npkt // p, 1, 1)))
-        seq = True
-    else:
-        seq = M.ndim == 3
-        Cx = M.shape[-1] - S
-        Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
-        V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
-        pre = "p" if seq else ""
-        yx = jnp.einsum(f"{pre}ij,pjb->pib", Tx, x_pkts, precision=_HI)
-        vx = jnp.einsum(f"{pre}sj,pjb->psb", V, x_pkts, precision=_HI)
-        xs = (yx, vx, U, W) if seq else (yx, vx)
+        yx = jnp.einsum("qij,nqjb->nqib", Tx, xg, precision=_HI)
+        vx = jnp.einsum("qsj,nqjb->nqsb", V, xg, precision=_HI)
+
+        # scan over pattern GROUPS: the p state matmuls unroll inside the
+        # body with U[j]/W[j] as constants — p x fewer scan steps, no
+        # per-packet tiling of the state matrices.
+        def gbody(s, xk):
+            yx_g, vx_g = xk                          # [p, Ry|S, B]
+            ys = []
+            for j in range(p):
+                ys.append(yx_g[j] + jnp.matmul(U[j], s, precision=_HI))
+                s = vx_g[j] + jnp.matmul(W[j], s, precision=_HI)
+            return s, jnp.stack(ys)
+
+        sF, y = lax.scan(gbody, s0, (yx, vx))
+        return sF, y.reshape(Npkt, Ry, -1)
+
+    seq = M.ndim == 3
+    Cx = M.shape[-1] - S
+    Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
+    V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
+    pre = "p" if seq else ""
+    yx = jnp.einsum(f"{pre}ij,pjb->pib", Tx, x_pkts, precision=_HI)
+    vx = jnp.einsum(f"{pre}sj,pjb->psb", V, x_pkts, precision=_HI)
+    xs = (yx, vx, U, W) if seq else (yx, vx)
 
     def body(s, xk):
         if seq:
@@ -269,22 +278,30 @@ def _apply_blocked_batched(M, Ry, S, x_pkts, s0):
         Tx, U = Mp[..., :Ry, :Cx], Mp[..., :Ry, Cx:]
         V, W = Mp[..., Ry:, :Cx], Mp[..., Ry:, Cx:]
         xg = x_pkts.reshape((Npkt // p, p) + x_pkts.shape[1:])
-        yx = jnp.einsum("qgij,nqgjb->nqgib", Tx, xg,
-                        precision=_HI).reshape((Npkt, G, Ry, -1))
-        vx = jnp.einsum("qgsj,nqgjb->nqgsb", V, xg,
-                        precision=_HI).reshape((Npkt, G, S, -1))
-        xs = (yx, vx, jnp.tile(U, (Npkt // p, 1, 1, 1)),
-              jnp.tile(W, (Npkt // p, 1, 1, 1)))
-        seq = True
-    else:
-        seq = M.ndim == 4
-        Cx = M.shape[-1] - S
-        Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
-        V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
-        pre = "p" if seq else ""
-        yx = jnp.einsum(f"{pre}gij,pgjb->pgib", Tx, x_pkts, precision=_HI)
-        vx = jnp.einsum(f"{pre}gsj,pgjb->pgsb", V, x_pkts, precision=_HI)
-        xs = (yx, vx, U, W) if seq else (yx, vx)
+        yx = jnp.einsum("qgij,nqgjb->nqgib", Tx, xg, precision=_HI)
+        vx = jnp.einsum("qgsj,nqgjb->nqgsb", V, xg, precision=_HI)
+
+        def gbody(s, xk):
+            yx_g, vx_g = xk                          # [p, G, Ry|S, B]
+            ys = []
+            for j in range(p):
+                ys.append(yx_g[j] + jnp.einsum(
+                    "gis,gsb->gib", U[j], s, precision=_HI))
+                s = vx_g[j] + jnp.einsum(
+                    "gst,gtb->gsb", W[j], s, precision=_HI)
+            return s, jnp.stack(ys)
+
+        sF, y = lax.scan(gbody, s0, (yx, vx))
+        return sF, y.reshape((Npkt, G, Ry, -1))
+
+    seq = M.ndim == 4
+    Cx = M.shape[-1] - S
+    Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
+    V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
+    pre = "p" if seq else ""
+    yx = jnp.einsum(f"{pre}gij,pgjb->pgib", Tx, x_pkts, precision=_HI)
+    vx = jnp.einsum(f"{pre}gsj,pgjb->pgsb", V, x_pkts, precision=_HI)
+    xs = (yx, vx, U, W) if seq else (yx, vx)
 
     def body(s, xk):
         if seq:
