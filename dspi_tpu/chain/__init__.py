@@ -15,7 +15,28 @@ from .pipeline import make_process
 
 __all__ = ["Engine", "GroupedEngine", "StaticChain", "ChainParams",
            "ChainState", "build_static", "build_params",
-           "build_params_multi", "init_state", "make_process"]
+           "build_params_multi", "init_state", "make_process",
+           "packet_geometry"]
+
+
+def packet_geometry(sample_rate, n_packets: int = 10):
+    """Canonical USB packet geometry for a sample rate.
+
+    The host delivers one isochronous packet per millisecond
+    (current_architecture.md:1092): 48/96 samples at 48/96 kHz, and the
+    44/45 cadence at 44.1 kHz (nine 44s then a 45 — 441 samples per
+    10 ms).  Returns ``(block_size, schedule)``: uniform rates get
+    ``schedule=None`` (packet count stays a per-call choice); 44.1 kHz
+    gets the cadence tiled to ``n_packets`` rounded up to whole 10 ms
+    groups (the periodic fast path wants complete pattern repeats).
+    """
+    rate = int(sample_rate)
+    if rate == 44100:
+        groups = max(1, -(-int(n_packets) // 10))
+        return 45, ((44,) * 9 + (45,)) * groups
+    if rate not in (48000, 96000):
+        raise ValueError(f"unsupported sample rate {sample_rate}")
+    return rate // 1000, None
 
 
 class Engine:
@@ -53,6 +74,7 @@ class Engine:
             mxu = jax.default_backend() == "tpu"
         self.cfg = cfg
         self.n_streams = n_streams
+        self._rate = float(cfg.sample_rate)
         self.derived = derive(cfg)
         self.static = build_static(self.derived, block_size=block_size,
                                    bit_depth=bit_depth, emit=emit, pdm=pdm,
@@ -78,18 +100,34 @@ class Engine:
             (leveller_reset_state; usb_audio.c leveller_reset_pending)
           * preset load zeroes the delay lines and resets the leveller
             (flash_storage.c:822-842)
+          * a sample-rate change (perform_rate_change, main.c:132-171)
+            recomputes every coefficient at the new Fs — derive() does —
+            AND re-packetizes: the USB host's packet geometry follows the
+            rate (48/96 uniform, 44/45 cadence at 44.1 kHz), so the
+            engine's block size / schedule rebuild via packet_geometry()
+            and callers must re-frame their segments.  Filter state
+            persists across the rate change, as in the firmware.
         """
         import dataclasses as _dc
 
         old_cfg, old_d, old_static = self.cfg, self.derived, self.static
         self.cfg = cfg
         self.derived = derive(cfg)
+        block_size, schedule = old_static.block_size, old_static.schedule
+        # Rate changes are detected against the geometry the engine was
+        # built at (the config object is typically shared with the control
+        # plane and mutated in place, so old_cfg is no witness).
+        if float(cfg.sample_rate) != self._rate:
+            block_size, schedule = packet_geometry(
+                cfg.sample_rate,
+                len(old_static.schedule) if old_static.schedule else 10)
+            self._rate = float(cfg.sample_rate)
         new_static = build_static(
-            self.derived, block_size=old_static.block_size,
+            self.derived, block_size=block_size,
             bit_depth=old_static.bit_depth, emit=old_static.emit,
             pdm=old_static.pdm_on or cfg.outputs[-1].enabled,
             unroll=old_static.unroll, outer_unroll=old_static.outer_unroll,
-            schedule=old_static.schedule, mxu=old_static.mxu,
+            schedule=schedule, mxu=old_static.mxu,
             wire=bool(old_static.wire))
         structural = new_static != old_static
         if structural:

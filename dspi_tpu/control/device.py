@@ -267,11 +267,16 @@ class VirtualDSPi:
                 cfg.hardware.i2s_bck_pin = payload[0]
         elif request == R.SET_MCK_ENABLE and len(payload) >= 1:
             cfg.hardware.i2s_mck_enabled = payload[0] != 0
+            if cfg.hardware.i2s_mck_enabled:
+                self._sanitize_mck_multiplier()   # usb_audio.c:3063-3066
         elif request == R.SET_MCK_PIN and len(payload) >= 1:
             if self._pin_valid(payload[0]):
                 cfg.hardware.i2s_mck_pin = payload[0]
         elif request == R.SET_MCK_MULTIPLIER and len(payload) >= 1:
-            cfg.hardware.i2s_mck_multiplier = 256 if payload[0] == 1 else 128
+            mult = 256 if payload[0] == 1 else 128
+            # 256x is refused at >=96 kHz (usb_audio.c:3115-3126)
+            if not (mult == 256 and cfg.sample_rate >= 96000):
+                cfg.hardware.i2s_mck_multiplier = mult
         elif request == R.SET_LEVELLER_ENABLE and len(payload) >= 1:
             cfg.leveller.enabled = payload[0] != 0
         elif request == R.SET_LEVELLER_AMOUNT and len(payload) >= 4:
@@ -339,6 +344,43 @@ class VirtualDSPi:
             self.dirty = False
         else:
             self.dirty = False
+
+    def set_sample_rate(self, freq_hz: int) -> None:
+        """UAC SET_CUR on the streaming endpoint's sampling-frequency
+        control — the one control that reaches the device outside the
+        vendor protocol (usb_audio.c:1491-1498) — followed by the main
+        loop's perform_rate_change (main.c:132-171):
+
+          * the 3-byte UAC frequency field is masked to 24 bits and any
+            rate outside {44100, 48000, 96000} falls back to 44100;
+          * every coefficient set recomputes at the new Fs (filters,
+            loudness table, crossfeed, leveller alphas, delay samples) —
+            Engine.update_config does all of that on commit();
+          * packet geometry follows the rate (chain.packet_geometry), so
+            the engine recompiles structurally and callers re-frame
+            segments — the analog of the PIO divider/format update;
+          * an enabled MCK generator at 256x is forced to 128x at 96 kHz
+            (sanitize_mck_multiplier_for_rate, main.c:123-130) — note the
+            firmware mutates the persistent multiplier itself.
+
+        Filter/delay-line state persists across the change, as in the
+        firmware (perform_rate_change resets sync + feedback, not DSP
+        state)."""
+        freq = int(freq_hz) & 0x00FFFFFF            # usb_audio.c:1493
+        if freq not in (44100, 48000, 96000):
+            freq = 44100                            # main.c:133
+        if freq == int(self.cfg.sample_rate):
+            return                                  # usb_audio.c:1494
+        self.cfg.sample_rate = float(freq)
+        if self.cfg.hardware.i2s_mck_enabled:
+            self._sanitize_mck_multiplier()         # main.c:166-170
+        self.dirty = True
+
+    def _sanitize_mck_multiplier(self) -> None:
+        """sanitize_mck_multiplier_for_rate (main.c:123-130)."""
+        if (self.cfg.sample_rate >= 96000
+                and self.cfg.hardware.i2s_mck_multiplier == 256):
+            self.cfg.hardware.i2s_mck_multiplier = 128
 
     def _pin_valid(self, pin: int) -> bool:
         """Pin validation (apply_slot_to_live, flash_storage.c:672-678)."""

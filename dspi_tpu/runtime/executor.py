@@ -156,10 +156,17 @@ class StreamRunner:
         self._inflight: list = []
         self._t_last_feed: float | None = None
         self._silence_template = None
+        self._template_static = getattr(engine, "static", None)
 
     def _silence_out(self):
         """A zeroed output segment shaped like the last real one — the
-        analog of the firmware's per-instance silence buffer."""
+        analog of the firmware's per-instance silence buffer.  A
+        structural engine commit (new static) re-shapes the outputs, so
+        the template resets with it."""
+        cur = getattr(self.engine, "static", None)
+        if cur is not self._template_static:
+            self._silence_template = None
+            self._template_static = cur
         if self._silence_template is None:
             return None
         return jax.tree.map(np.zeros_like, self._silence_template)
@@ -246,13 +253,6 @@ class ChainedRunner:
 
     def __init__(self, engine, depth: int = 8, deadline_s: float | None = None,
                  n_slots: int | None = None):
-        import functools
-
-        import jax.numpy as jnp
-        from jax import lax
-
-        from ..chain.pipeline import _process_float, _process_q28
-
         self.engine = engine
         self.depth = depth
         self.deadline_s = deadline_s
@@ -261,7 +261,19 @@ class ChainedRunner:
         self.stats = RunnerStats(n_slots=n_slots, max_inflight=2)
         self._inflight: list = []
         self._t_last_feed: float | None = None
+        self._build()
 
+    def _build(self):
+        """(Re)compile the chained batch program against the engine's
+        CURRENT static structure."""
+        import functools
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ..chain.pipeline import _process_float, _process_q28
+
+        engine = self.engine
         raw = functools.partial(
             _process_float if engine.static.is_float else _process_q28,
             engine.static)
@@ -276,15 +288,27 @@ class ChainedRunner:
             st, (folds, peaks, clips) = lax.scan(body, state, (xb, pm))
             return st, folds, peaks[-1], clips[-1]
 
+        self._static = engine.static
         self._run = jax.jit(run, donate_argnums=(1,))
         self._params_dev = jax.device_put(jax.tree.map(
             lambda v: None if v is None else v, engine.params))
 
     def commit_params(self):
-        """Re-upload the engine's params after a control-plane commit
-        (VirtualDSPi.commit) so the next batch serves the new
-        coefficients."""
-        self._params_dev = jax.device_put(self.engine.params)
+        """Sync with the engine after a control-plane commit
+        (VirtualDSPi.commit).  Coefficient-only commits re-upload params
+        (no recompile — the next batch serves the new values); a
+        STRUCTURAL commit (band enables, output enables, a sample-rate
+        change) replaced ``engine.static``, so the chained program —
+        which closed over the old structure — rebuilds.  The analog of
+        the firmware's pipeline reset around structural updates
+        (prepare/complete_pipeline_reset, main.c:230-528): in-flight
+        batches are drained first, since their results belong to the old
+        program."""
+        if self.engine.static is not self._static:
+            self.drain()
+            self._build()
+        else:
+            self._params_dev = jax.device_put(self.engine.params)
 
     def feed(self, xb: np.ndarray, preset_mute=None):
         """xb: int32 [depth, n_packets, 2, T, B] (one batch of chained

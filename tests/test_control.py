@@ -328,3 +328,60 @@ def test_enter_bootloader_flag(dev):
     assert not dev.bootloader_requested
     dev.set(R.ENTER_BOOTLOADER)
     assert dev.bootloader_requested and not dev.dirty
+
+
+def test_sample_rate_change_flow(dev):
+    """UAC SET_CUR(freq) -> perform_rate_change (main.c:132-171): filters
+    recompute at the new Fs, packet geometry follows the rate, DSP state
+    persists across the change."""
+    from dspi_tpu.chain import Engine
+
+    dev.set(R.SET_EQ_PARAM, 0,
+            struct.pack("<BBBBfff", 0, 0, 1, 0, 1000.0, 1.0, 3.0))
+    eng = Engine(dev.cfg, n_streams=2, pdm=False, unroll=2)
+    dev.commit(eng)
+
+    # run a segment so filter state is nonzero, then change the rate
+    x = np.full((4, 2, 48, 2), 9000, np.int32)
+    eng.process(x)
+    # 1 kHz @48k is below Fs/7.5 -> SVF path, state in eq_c/eq_d; it
+    # stays SVF at 96 kHz too, so no path-flip reset applies
+    state_before = np.asarray(eng.state.eq_c).copy()
+    assert np.abs(state_before).max() > 0
+
+    dev.set_sample_rate(96000)
+    assert dev.dirty
+    assert dev.commit(eng)
+    assert eng.static.block_size == 96 and not eng.static.schedule
+    # coefficients recomputed at 96 kHz == a fresh engine's
+    fresh = Engine(dev.cfg, n_streams=2, pdm=False, unroll=2)
+    np.testing.assert_array_equal(np.asarray(eng.params.eq_f32),
+                                  np.asarray(fresh.params.eq_f32))
+    # filter state persisted (perform_rate_change resets sync, not DSP)
+    np.testing.assert_array_equal(np.asarray(eng.state.eq_c), state_before)
+    eng.process(np.full((2, 2, 96, 2), 9000, np.int32))   # new framing runs
+
+    # 44.1 kHz installs the 44/45 cadence
+    dev.set_sample_rate(44100)
+    dev.commit(eng)
+    assert eng.static.schedule == ((44,) * 9 + (45,))
+    eng.process(np.full((2, 441, 2), 9000, np.int32))
+
+    # out-of-set rates fall back to 44100 (main.c:133); same-rate set is
+    # ignored (usb_audio.c:1494)
+    dev.set_sample_rate(192000)
+    assert not dev.dirty and dev.cfg.sample_rate == 44100.0
+
+
+def test_mck_multiplier_rate_sanitize(dev):
+    # 256x allowed at 48 kHz
+    dev.set(R.SET_MCK_MULTIPLIER, 0, b"\x01")
+    dev.set(R.SET_MCK_ENABLE, 0, b"\x01")
+    assert dev.get(R.GET_MCK_MULTIPLIER) == b"\x01"
+    # rate change to 96 kHz forces an enabled 256x MCK down to 128x
+    # (sanitize_mck_multiplier_for_rate, main.c:123-130)
+    dev.set_sample_rate(96000)
+    assert dev.get(R.GET_MCK_MULTIPLIER) == b"\x00"
+    # and SET_MCK_MULTIPLIER=256 is refused at 96 kHz (usb_audio.c:3115-3126)
+    dev.set(R.SET_MCK_MULTIPLIER, 0, b"\x01")
+    assert dev.get(R.GET_MCK_MULTIPLIER) == b"\x00"

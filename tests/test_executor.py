@@ -117,3 +117,59 @@ def test_chained_runner_commit_params_applies(rng):
     runner.drain()
     peak_after = int(np.asarray(p2)[2, 0])
     assert peak_after < peak_before * 0.05      # -40 dB master volume
+
+
+def test_chained_runner_structural_commit_rebuilds(rng):
+    """A structural commit (here: a sample-rate change) replaces the
+    engine's static; commit_params must drain and rebuild the chained
+    program instead of serving the stale structure."""
+    import struct
+
+    from dspi_tpu.control import requests as R
+    from dspi_tpu.control.device import VirtualDSPi
+    from dspi_tpu.runtime.executor import ChainedRunner
+
+    dev = VirtualDSPi(Platform.RP2350)
+    dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", 0.0))
+    eng = Engine(dev.cfg, n_streams=4, pdm=False, unroll=2, emit="reduced")
+    dev.dirty = False
+    runner = ChainedRunner(eng, depth=2)
+    xb = np.stack([make_input(rng, 3, 48, 4) for _ in range(2)])
+    runner.feed(xb)
+
+    dev.set_sample_rate(96000)                   # structural: block 48->96
+    assert dev.commit(eng)
+    runner.commit_params()
+    assert runner._static is eng.static
+    assert eng.static.block_size == 96
+
+    xb96 = np.stack([make_input(rng, 3, 96, 4) for _ in range(2)])
+    folds, peaks, clips = runner.feed(xb96)
+    runner.drain()
+    assert np.isfinite(np.asarray(folds)).all()
+    assert int(np.asarray(peaks).max()) > 0
+
+
+def test_stream_runner_silence_template_resets_on_structural_commit(rng):
+    """After a structural commit the silence template re-shapes with the
+    new outputs (stale-template substitution would feed wrong shapes)."""
+    import time
+
+    cfg = rich_config(Platform.RP2350, pdm=False)
+    eng = Engine(cfg, n_streams=2, pdm=False, unroll=2)
+    runner = StreamRunner(eng, max_inflight=1, deadline_s=0.0)
+    x = make_input(rng, 2, 48, 2)
+    runner.feed(x)
+    runner.drain()
+
+    import copy
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.sample_rate = 96000.0
+    eng.update_config(cfg2)
+    x96 = make_input(rng, 2, 96, 2)
+    time.sleep(0.01)                              # exceed the 0 s deadline
+    runner.feed(x96)                              # starves: counted, and the
+    out = runner.drain()                          # stale template was reset
+    assert runner.stats.starvations_total > 0
+    assert np.asarray(out["out"]).shape[2] == 96
+    assert not runner._inflight                   # drained clean
