@@ -252,10 +252,15 @@ class ChainedRunner:
     """
 
     def __init__(self, engine, depth: int = 8, deadline_s: float | None = None,
-                 n_slots: int | None = None):
+                 n_slots: int | None = None, mesh: Mesh | None = None):
+        """``mesh``: optional 1-D ``streams`` mesh — shard the engine first
+        (``shard_engine(engine, mesh)``) and every batch partitions across
+        chips with zero collectives, exactly like the single-segment path;
+        the chained program is jitted once and XLA SPMD-partitions it."""
         self.engine = engine
         self.depth = depth
         self.deadline_s = deadline_s
+        self.mesh = mesh
         if n_slots is None:
             n_slots = engine.static.n_spdif
         self.stats = RunnerStats(n_slots=n_slots, max_inflight=2)
@@ -290,8 +295,19 @@ class ChainedRunner:
 
         self._static = engine.static
         self._run = jax.jit(run, donate_argnums=(1,))
-        self._params_dev = jax.device_put(jax.tree.map(
-            lambda v: None if v is None else v, engine.params))
+        self._put_params()
+
+    def _put_params(self):
+        """Upload the engine's params — replicated over the mesh when one
+        is attached, so the SPMD-partitioned program reads them locally."""
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            self._params_dev = jax.tree.map(
+                lambda v: None if v is None else jax.device_put(v, repl),
+                self.engine.params)
+        else:
+            self._params_dev = jax.device_put(jax.tree.map(
+                lambda v: None if v is None else v, self.engine.params))
 
     def commit_params(self):
         """Sync with the engine after a control-plane commit
@@ -308,7 +324,7 @@ class ChainedRunner:
             self.drain()
             self._build()
         else:
-            self._params_dev = jax.device_put(self.engine.params)
+            self._put_params()
 
     def feed(self, xb: np.ndarray, preset_mute=None):
         """xb: int32 [depth, n_packets, 2, T, B] (one batch of chained
@@ -328,6 +344,10 @@ class ChainedRunner:
             npkt = (len(self.engine.static.schedule)
                     if self.engine.static.schedule else xb.shape[1])
             preset_mute = jnp.ones((self.depth, npkt), jnp.float32)
+        if self.mesh is not None:
+            sh = getattr(xb, "sharding", None)
+            if getattr(sh, "mesh", None) != self.mesh:
+                xb = shard_input(np.asarray(xb), self.mesh)
         self.engine.state, folds, peaks, clips = self._run(
             self._params_dev, self.engine.state, xb, preset_mute)
         out = (folds, peaks, clips)

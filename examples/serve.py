@@ -18,6 +18,11 @@ instead of sitting on the per-call readback floor.
 Run: python examples/serve.py [n_streams] [n_batches]
 Interactive (segment-at-a-time StreamRunner, lower numbers, lower
 latency): python examples/serve.py [n_streams] [n_batches] --interactive
+Off-TPU (force the CPU backend, small unroll so compiles stay quick):
+  python examples/serve.py 256 6 --cpu
+Multi-chip (shard the stream axis over every visible device — zero
+collectives, the SURVEY §2.3 mapping):
+  python examples/serve.py 8192 12 --mesh
 """
 
 import struct
@@ -38,19 +43,29 @@ from dspi_tpu.runtime.wire_out import WireEncoder
 
 
 def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
-                  npkt: int = 32, block: int = 48):
+                  npkt: int = 32, block: int = 48, unroll: int = 48,
+                  use_mesh: bool = False):
     from bench import full_chain_config
 
     dev = VirtualDSPi(Platform.RP2350)
     dev.cfg = full_chain_config(Platform.RP2350)   # full 11-channel chain
 
     eng = Engine(dev.cfg, n_streams=n_streams, block_size=block,
-                 emit="reduced", pdm=True, unroll=48, pdm_fade=False,
+                 emit="reduced", pdm=True, unroll=unroll, pdm_fade=False,
                  wire=True)
     dev.dirty = False
 
+    mesh = None
+    if use_mesh:
+        from dspi_tpu.runtime.executor import make_mesh, shard_engine
+        mesh = make_mesh()
+        shard_engine(eng, mesh)
+        print(f"mesh: {len(mesh.devices.ravel())} devices, stream axis "
+              "sharded, params replicated, zero collectives", flush=True)
+
     batch_audio_s = depth * npkt * block / dev.cfg.sample_rate
-    runner = ChainedRunner(eng, depth=depth, deadline_s=batch_audio_s)
+    runner = ChainedRunner(eng, depth=depth, deadline_s=batch_audio_s,
+                           mesh=mesh)
     dev.attach_runner(runner)
     tele = EngineTelemetry(sample_rate=dev.cfg.sample_rate)
 
@@ -59,13 +74,17 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
     # numpy — the chip-side work per batch is identical)
     import jax
     rng = np.random.default_rng(0)
-    xb = jax.device_put(rng.integers(
-        -20000, 20000,
-        size=(depth, npkt, 2, block, n_streams)).astype(np.int32))
+    xb = rng.integers(-20000, 20000,
+                      size=(depth, npkt, 2, block, n_streams)).astype(np.int32)
+    if mesh is not None:
+        from dspi_tpu.runtime.executor import shard_input
+        xb = shard_input(xb, mesh)
+    else:
+        xb = jax.device_put(xb)
 
     print(f"serving {n_streams} streams, {n_batches} batches of "
           f"{depth} x {npkt} packets ({1000 * batch_audio_s:.0f} ms audio "
-          f"per batch), device wire encode on")
+          f"per batch), device wire encode on", flush=True)
 
     def gains():
         return np.stack([dev.packet_gains(npkt, block)
@@ -87,7 +106,8 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
             status = dev.get(R.GET_STATUS, 9)
             pk = struct.unpack("<11H", status[:22])
             print(f"  batch {b:2d}: {rtf:9.0f}x RT sustained  "
-                  f"load {tele.load.percent}%  peak L/R {pk[0]}/{pk[1]}")
+                  f"load {tele.load.percent}%  peak L/R {pk[0]}/{pk[1]}",
+                  flush=True)
 
         if b == n_batches // 2:
             dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", -6.0))
@@ -170,10 +190,19 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_streams = int(args[0]) if args else 8192
     n_batches = int(args[1]) if len(args) > 1 else 12
+    kw = {}
+    if "--cpu" in sys.argv:
+        # Force the CPU backend (works before backend init; the env vars
+        # alone are overridden in some environments) and keep the compile
+        # quick: deep unrolls cost minutes on XLA:CPU, seconds on TPU.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        kw = dict(depth=2, npkt=8, unroll=4)
     if "--interactive" in sys.argv:
         serve_interactive(n_streams, n_batches)
     else:
-        serve_chained(n_streams, n_batches)
+        serve_chained(n_streams, n_batches,
+                      use_mesh="--mesh" in sys.argv, **kw)
 
 
 if __name__ == "__main__":

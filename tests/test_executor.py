@@ -150,6 +150,48 @@ def test_chained_runner_structural_commit_rebuilds(rng):
     assert int(np.asarray(peaks).max()) > 0
 
 
+def test_chained_runner_sharded_matches_single_device(rng):
+    """ChainedRunner over an 8-device mesh: identical outputs to the
+    unsharded runner, params replicated, and a coefficient-only commit
+    keeps the replication (no silent migration to one device)."""
+    import struct
+
+    from dspi_tpu.control import requests as R
+    from dspi_tpu.control.device import VirtualDSPi
+    from dspi_tpu.runtime.executor import ChainedRunner
+
+    depth, npkt, block, B = 2, 3, 48, 16
+    xb = np.stack([make_input(rng, npkt, block, B) for _ in range(depth)])
+
+    dev = VirtualDSPi(Platform.RP2350)
+    dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", 0.0))
+    ref = Engine(dev.cfg, n_streams=B, pdm=False, unroll=2, emit="reduced")
+    dev.dirty = False
+    ref_runner = ChainedRunner(ref, depth=depth)
+    want, _, _ = ref_runner.feed(xb)
+    ref_runner.drain()
+
+    eng = Engine(dev.cfg, n_streams=B, pdm=False, unroll=2, emit="reduced")
+    mesh = make_mesh()
+    shard_engine(eng, mesh)
+    runner = ChainedRunner(eng, depth=depth, mesh=mesh)
+    got, _, _ = runner.feed(xb)
+    runner.drain()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # params replicated over all 8 devices; state still mesh-resident
+    assert len(runner._params_dev.eq_f32.sharding.device_set) == 8
+    assert len(eng.state.eq_a.sharding.device_set) == 8
+
+    # coefficient-only commit re-uploads with the same replication
+    dev.set(R.SET_MASTER_VOLUME, 0, struct.pack("<f", -20.0))
+    assert dev.commit(eng)
+    runner.commit_params()
+    assert len(runner._params_dev.eq_f32.sharding.device_set) == 8
+    runner.feed(xb)
+    runner.drain()
+
+
 def test_stream_runner_silence_template_resets_on_structural_commit(rng):
     """After a structural commit the silence template re-shapes with the
     new outputs (stale-template substitution would feed wrong shapes)."""
