@@ -199,6 +199,20 @@ class Engine:
         self.state, out = self._fn(self.params, self.state, x, preset_mute)
         return out
 
+    @property
+    def segment_fn(self):
+        """Pre-jit segment processor ``(params, state, x, preset_mute) ->
+        (state', out)`` — the building block chained runners and benches
+        compose inside ONE outer jit (bench.py methodology).  Derived from
+        the CURRENT static, so it tracks structural recompiles."""
+        import functools
+
+        from .pipeline import _process_float, _process_q28
+
+        return functools.partial(
+            _process_float if self.static.is_float else _process_q28,
+            self.static)
+
     # -- checkpoint / resume of runtime state ------------------------------
     def save_state(self, path: str) -> None:
         """Snapshot all per-stream runtime state (filter memories,

@@ -136,6 +136,12 @@ class GroupedEngine:
         self.state, out = self._fn(self.params, self.state, x, preset_mute)
         return out
 
+    @property
+    def segment_fn(self):
+        """Pre-jit vmapped segment processor — same contract as
+        ``Engine.segment_fn`` with x carrying the leading group axis."""
+        return self._vraw
+
 
 class HeteroServer:
     """Arbitrary per-stream heterogeneous serving at grouped-engine speed.
@@ -218,6 +224,35 @@ class HeteroServer:
     @property
     def static(self):
         return self.grouped.static
+
+    # params/state live on the wrapped GroupedEngine; proxied so runners
+    # (ChainedRunner) drive a HeteroServer exactly like an Engine.
+    @property
+    def params(self):
+        return self.grouped.params
+
+    @params.setter
+    def params(self, v):
+        self.grouped.params = v
+
+    @property
+    def state(self):
+        return self.grouped.state
+
+    @state.setter
+    def state(self, v):
+        self.grouped.state = v
+
+    @property
+    def segment_fn(self):
+        """Pre-jit segment processor with the caller-order permutation
+        baked in — x/outputs in the CALLER's stream order, state grouped."""
+        raw, perm, inv = self._raw, self._perm, self._inv
+
+        def fn(params, state, x, pm):
+            return raw(params, state, x, pm, perm, inv)
+
+        return fn
 
     def update_group(self, k: int, cfg) -> None:
         self.grouped.update_group(k, cfg)

@@ -249,6 +249,11 @@ class ChainedRunner:
 
     Real-time accounting matches StreamRunner: a feed gap exceeding the
     batch's audio duration counts starvations on every active slot.
+
+    Serves any engine exposing the ``segment_fn`` contract: ``Engine``
+    (xb [depth, npkt, 2, T, B]), ``GroupedEngine`` (leading K group axis)
+    and ``HeteroServer`` (caller stream order; ``update_group`` +
+    ``commit_params`` swaps one tenant's coefficients live).
     """
 
     def __init__(self, engine, depth: int = 8, deadline_s: float | None = None,
@@ -271,17 +276,14 @@ class ChainedRunner:
     def _build(self):
         """(Re)compile the chained batch program against the engine's
         CURRENT static structure."""
-        import functools
-
         import jax.numpy as jnp
         from jax import lax
 
-        from ..chain.pipeline import _process_float, _process_q28
-
         engine = self.engine
-        raw = functools.partial(
-            _process_float if engine.static.is_float else _process_q28,
-            engine.static)
+        # Engine, GroupedEngine and HeteroServer all expose the same
+        # pre-jit segment contract, so one runner serves homogeneous,
+        # K-config grouped, and arbitrary per-stream heterogeneous fleets.
+        raw = engine.segment_fn
 
         def run(params, state, xb, pm):
             def body(st, seg):
@@ -341,8 +343,11 @@ class ChainedRunner:
         self._t_last_feed = now
 
         if preset_mute is None:
+            # [depth, npkt, 2, T, B] homogeneous / [depth, K, npkt, 2, T, G]
+            # grouped: npkt sits at -4 either way; scheduled chains carry
+            # it in the static.
             npkt = (len(self.engine.static.schedule)
-                    if self.engine.static.schedule else xb.shape[1])
+                    if self.engine.static.schedule else xb.shape[-4])
             preset_mute = jnp.ones((self.depth, npkt), jnp.float32)
         if self.mesh is not None:
             sh = getattr(xb, "sharding", None)

@@ -23,6 +23,9 @@ Off-TPU (force the CPU backend, small unroll so compiles stay quick):
 Multi-chip (shard the stream axis over every visible device — zero
 collectives, the SURVEY §2.3 mapping):
   python examples/serve.py 8192 12 --mesh
+Multi-tenant (8 distinct configs scattered across the streams, served
+through HeteroServer's bucketing dispatcher):
+  python examples/serve.py 16384 12 --hetero
 """
 
 import struct
@@ -131,6 +134,62 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
     return sustained
 
 
+def serve_hetero(n_streams: int, n_batches: int, n_cfgs: int = 8,
+                 depth: int = 8, npkt: int = 32, block: int = 48,
+                 unroll: int = 48):
+    """Multi-tenant serving: n_cfgs distinct device configs scattered
+    across n_streams streams in arbitrary order, bucketed onto the
+    vmapped pipeline by HeteroServer and chained on device by
+    ChainedRunner — one readback per batch, live per-tenant coefficient
+    swaps at batch boundaries."""
+    from bench import full_chain_config
+    from dspi_tpu.chain.grouped import HeteroServer
+
+    cfgs = []
+    for k in range(n_cfgs):
+        c = full_chain_config(Platform.RP2350)
+        c.eq[0][0].freq = 60.0 + 15.0 * k
+        c.eq[1][0].freq = 60.0 + 15.0 * k
+        c.master_volume_db = -6.0 - 1.5 * k
+        cfgs.append(c)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, n_cfgs, size=n_streams)
+
+    srv = HeteroServer(cfgs, ids, block_size=block, emit="reduced",
+                       pdm=True, unroll=unroll, pdm_fade=False)
+    batch_audio_s = depth * npkt * block / cfgs[0].sample_rate
+    runner = ChainedRunner(srv, depth=depth, deadline_s=batch_audio_s)
+
+    import jax
+    xb = jax.device_put(rng.integers(
+        -20000, 20000,
+        size=(depth, npkt, 2, block, n_streams)).astype(np.int32))
+    print(f"hetero serving: {n_cfgs} configs scattered over {n_streams} "
+          f"streams (padding waste {100 * srv.padding_waste:.1f}%), "
+          f"{n_batches} batches of {depth} x {npkt} packets", flush=True)
+
+    walls = []
+    for b in range(n_batches):
+        t0 = time.perf_counter()
+        runner.feed(xb)
+        wall = time.perf_counter() - t0
+        if b > 0:
+            walls.append(wall)
+            rtf = n_streams * batch_audio_s / wall
+            print(f"  batch {b:2d}: {rtf:9.0f}x RT sustained", flush=True)
+        if b == n_batches // 2:
+            quiet = cfgs[0].copy()
+            quiet.master_volume_db = -40.0
+            srv.update_group(0, quiet)
+            runner.commit_params()
+            print("  [mid-run] tenant 0 master volume -> -40 dB "
+                  "(update_group, no recompile)", flush=True)
+    runner.drain()
+    best = min(walls) if walls else float("inf")
+    print(f"done: best sustained {n_streams * batch_audio_s / best:.0f}x RT, "
+          f"starvations {runner.stats.starvations_total}", flush=True)
+
+
 def serve_interactive(n_streams: int, n_segments: int,
                       npkt: int = 16, block: int = 48):
     """Original latency-bound loop: one segment per dispatch, host wire
@@ -200,6 +259,8 @@ def main():
         kw = dict(depth=2, npkt=8, unroll=4)
     if "--interactive" in sys.argv:
         serve_interactive(n_streams, n_batches)
+    elif "--hetero" in sys.argv:
+        serve_hetero(n_streams, n_batches, **kw)
     else:
         serve_chained(n_streams, n_batches,
                       use_mesh="--mesh" in sys.argv, **kw)

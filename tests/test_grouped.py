@@ -99,3 +99,42 @@ def test_grouped_schedule(rng):
         want = single.process(x[k])
         np.testing.assert_array_equal(np.asarray(out["out"])[k],
                                       np.asarray(want["out"]))
+
+
+def test_grouped_chained_runner(rng):
+    """ChainedRunner over a GroupedEngine (x: [depth, K, npkt, 2, T, G]):
+    chained state evolution equals segment-at-a-time process()."""
+    from dspi_tpu.runtime.executor import ChainedRunner
+
+    cfgs = _cfgs(Platform.RP2350)
+    depth = 2
+    xb = np.stack([
+        np.stack([make_input(rng, NPKT, BLOCK, G) for _ in range(K)])
+        for _ in range(depth)])
+
+    ref = GroupedEngine(cfgs, streams_per_group=G, pdm=False, unroll=2,
+                        mxu=False, emit="reduced")
+    for d in range(depth):
+        ref.process(xb[d])
+
+    eng = GroupedEngine(cfgs, streams_per_group=G, pdm=False, unroll=2,
+                        mxu=False, emit="reduced")
+    runner = ChainedRunner(eng, depth=depth)
+    folds, peaks, clips = runner.feed(xb)
+    runner.drain()
+    assert np.asarray(folds).shape == (depth,)
+    assert np.isfinite(np.asarray(folds)).all()
+    assert np.asarray(peaks).shape[0] == K
+    for f in ref.state._fields:
+        a, b = getattr(ref.state, f), getattr(eng.state, f)
+        if a is None:
+            assert b is None
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.floating):
+            # scan-wrapped vmap lets XLA pick different FMA contractions
+            # than the bare vmapped program: ulp-level float drift
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7,
+                                       err_msg=f)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=f)

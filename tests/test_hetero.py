@@ -173,3 +173,57 @@ def test_hetero_server_padding_waste_bounded():
     srv = HeteroServer(cfgs, ids, pdm=False, unroll=2, mxu=False)
     assert srv.grouped.streams_per_group == 6
     assert srv.padding_waste == pytest.approx(3 * 6 / 8 - 1.0)
+
+
+def test_hetero_server_chained_runner(rng):
+    """ChainedRunner drives a HeteroServer through its segment_fn: the
+    chained batch must evolve identical state to segment-at-a-time
+    process() calls, and a mid-run update_group lands via commit_params."""
+    import jax
+
+    from dspi_tpu.chain.grouped import HeteroServer
+    from dspi_tpu.runtime.executor import ChainedRunner
+
+    cfgs = _mix_cfgs()
+    ids = np.array([2, 0, 1, 0, 2, 2, 1, 0])
+    depth, B = 3, len(ids)
+    xb = np.stack([make_input(rng, 2, 48, B) for _ in range(depth)])
+
+    ref = HeteroServer(cfgs, ids, pdm=False, unroll=2, mxu=False,
+                       emit="reduced")
+    for k in range(depth):
+        ref.process(xb[k])
+
+    srv = HeteroServer(cfgs, ids, pdm=False, unroll=2, mxu=False,
+                       emit="reduced")
+    runner = ChainedRunner(srv, depth=depth)
+    folds, peaks, clips = runner.feed(xb)
+    runner.drain()
+    assert np.isfinite(np.asarray(folds)).all()
+    for f in ref.state._fields:
+        a, b = getattr(ref.state, f), getattr(srv.state, f)
+        if a is None:
+            assert b is None
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.floating):
+            # scan-wrapped vmap may contract FMAs differently: ulp drift
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7,
+                                       err_msg=f)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=f)
+
+    # live coefficient swap at the batch boundary (update_group ->
+    # commit_params), no recompile
+    compiled_before = runner._run
+    quiet = cfgs[0].copy()
+    quiet.master_volume_db = -60.0
+    srv.update_group(0, quiet)
+    runner.commit_params()
+    assert runner._run is compiled_before
+    _, p2, _ = runner.feed(xb)
+    runner.drain()
+    p2 = np.asarray(p2)
+    assert p2[2, 1] < max(int(np.asarray(peaks)[2, 1]), 1) * 0.2 + 1
+    assert p2[2, 0] > 0                    # config-2 stream unaffected
+    jax.block_until_ready(srv.state)
