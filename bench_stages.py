@@ -192,15 +192,17 @@ def bench_hetero(k=8, b=None, npkt=None, platform=None):
     return rtf, best, srv.padding_waste
 
 
-def bench_sched441(b=B, n_pairs=64, platform=None):
-    """Full chain at 44.1 kHz with the firmware's 44/45 variable-packet
-    cadence compiled in (thin wrapper over bench.bench_engine)."""
+def bench_sched441(b=B, n_groups=13, platform=None):
+    """Full chain at 44.1 kHz with the firmware's true variable-packet
+    cadence — nine 44s then a 45, 441 samples per 10 ms
+    (current_architecture.md:1092) — compiled in as a periodic schedule
+    (thin wrapper over bench.bench_engine)."""
     from dspi_tpu.core.constants import Platform
 
     platform = platform or Platform.RP2350
     cfg = full_chain_config(platform, sample_rate=44100.0)
     rtf, _ = bench_engine(cfg, b, None, ITERS, UNROLL,
-                          schedule=(44, 45) * n_pairs)
+                          schedule=((44,) * 9 + (45,)) * n_groups)
     print(f"44.1k sched full chain ({platform.value}): {rtf:.0f}x",
           flush=True)
     return rtf

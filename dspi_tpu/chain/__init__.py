@@ -85,7 +85,8 @@ class Engine:
                                 pdm_fade=pdm_fade)
         self._fn = make_process(self.static)
 
-    def update_config(self, cfg: DeviceConfig, preset_load: bool = False):
+    def update_config(self, cfg: DeviceConfig, preset_load: bool = False,
+                      bit_depth: int | None = None):
         """Apply a new config with the firmware's state-reset semantics.
 
         Coefficient-only changes reuse the compiled program; structural
@@ -107,6 +108,12 @@ class Engine:
             engine's block size / schedule rebuild via packet_geometry()
             and callers must re-frame their segments.  Filter state
             persists across the rate change, as in the firmware.
+          * ``bit_depth`` (16|24, None = keep) is the UAC alt-setting
+            analog: the host selecting AS alt1 (16-bit) / alt2 (24-bit)
+            changes only the per-packet unpack format
+            (usb_descriptors.c:64-235, usb_audio.c:591-686/997-1006) —
+            the chain recompiles with the new unpack, every other pass
+            and all DSP state carry over untouched.
         """
         import dataclasses as _dc
 
@@ -124,7 +131,8 @@ class Engine:
             self._rate = float(cfg.sample_rate)
         new_static = build_static(
             self.derived, block_size=block_size,
-            bit_depth=old_static.bit_depth, emit=old_static.emit,
+            bit_depth=(old_static.bit_depth if bit_depth is None
+                       else int(bit_depth)), emit=old_static.emit,
             pdm=old_static.pdm_on or cfg.outputs[-1].enabled,
             unroll=old_static.unroll, outer_unroll=old_static.outer_unroll,
             schedule=schedule, mxu=old_static.mxu,

@@ -519,7 +519,7 @@ def _process_float(static: StaticChain, p: ChainParams, state: ChainState,
             gc_k, pa_k, pr_k = xs_k
             gdb, g = carry
             alpha = jnp.where(gc_k < gdb, pa_k, pr_k)
-            gdb_n = alpha * gdb + (1.0 - alpha) * gc_k
+            gdb_n = fmath.smooth_det(alpha, gdb, gc_k)
             g_cur = fmath.exp10_f32(gdb_n * inv20)
             return (gdb_n, g_cur), (g, g_cur)
 
@@ -971,7 +971,7 @@ def _process_q28(static: StaticChain, p: ChainParams, state: ChainState,
             gc_k, pa_k, pr_k = xs_k
             gdb, g = carry
             alpha = jnp.where(gc_k < gdb, pa_k, pr_k)
-            gdb_n = alpha * gdb + (1.0 - alpha) * gc_k
+            gdb_n = fmath.smooth_det(alpha, gdb, gc_k)
             g_cur = _f32_to_i32(fmath.exp10_f32(gdb_n * inv20)
                                 * jnp.float32(C.Q28_ONE))
             return (gdb_n, g_cur), (g, g_cur)

@@ -72,6 +72,10 @@ class VirtualDSPi:
         # bootloader; the emulation raises this flag for the host harness.
         self.bootloader_requested = False
         self._stats_seq = 0
+        # UAC streaming alt setting: alt1 = 16-bit, alt2 = 24-bit
+        # (usb_descriptors.c:64-235); per-packet unpack format follows it
+        # (usb_audio.c:591-686).  16-bit at boot (alt0 idle -> alt1).
+        self.bit_depth = 16
         self.store.boot_load(self.cfg)
 
     def attach_runner(self, runner) -> None:
@@ -91,7 +95,8 @@ class VirtualDSPi:
         (main.c:826-976).  Returns True if anything was applied."""
         if not self.dirty:
             return False
-        engine.update_config(self.cfg, preset_load=self._preset_loaded)
+        engine.update_config(self.cfg, preset_load=self._preset_loaded,
+                             bit_depth=self.bit_depth)
         self.dirty = False
         self._preset_loaded = False
         return True
@@ -374,6 +379,22 @@ class VirtualDSPi:
         self.cfg.sample_rate = float(freq)
         if self.cfg.hardware.i2s_mck_enabled:
             self._sanitize_mck_multiplier()         # main.c:166-170
+        self.dirty = True
+
+    def set_bit_depth(self, bit_depth: int) -> None:
+        """UAC SET_INTERFACE on the streaming interface — the host
+        selecting alt1 (16-bit) / alt2 (24-bit) of AS interface 1
+        (usb_descriptors.c:64-235).  The firmware switches the per-packet
+        unpack format live off the current alt setting
+        (usb_audio.c:591-686 float / :997-1006 Q28 ``(v<<8)>>2``); here
+        the unpack is compiled into the chain, so the switch marks the
+        device dirty and ``commit`` rebuilds the engine with the new
+        ``bit_depth`` — geometry and all DSP state carry across, exactly
+        like the sample-rate flow above.  Unknown alt widths are ignored
+        (the firmware's SET_INTERFACE handler only knows alts 0-2)."""
+        if bit_depth not in (16, 24) or bit_depth == self.bit_depth:
+            return
+        self.bit_depth = int(bit_depth)
         self.dirty = True
 
     def _sanitize_mck_multiplier(self) -> None:

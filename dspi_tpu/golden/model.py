@@ -178,8 +178,8 @@ class GoldenDevice:
         alpha_sample = (co.alpha_attack if gc_db < self.lev_gain_smooth_db
                         else co.alpha_release)
         alpha = fmath.pow_f32(alpha_sample, F(count))
-        self.lev_gain_smooth_db = (alpha * self.lev_gain_smooth_db
-                                   + (F(1.0) - alpha) * gc_db)
+        self.lev_gain_smooth_db = F(fmath.smooth_det(
+            alpha, self.lev_gain_smooth_db, gc_db))
         self.lev_gain_prev_linear = self.lev_gain_linear
         self.lev_gain_linear = fmath.exp10_f32(self.lev_gain_smooth_db * (F(1.0) / F(20.0)))
 
@@ -307,8 +307,8 @@ class GoldenDevice:
         alpha_sample = (co.alpha_attack if gc_db < self.lev_gain_smooth_db
                         else co.alpha_release)
         alpha = fmath.pow_f32(alpha_sample, F(count))
-        self.lev_gain_smooth_db = (alpha * self.lev_gain_smooth_db
-                                   + (F(1.0) - alpha) * gc_db)
+        self.lev_gain_smooth_db = F(fmath.smooth_det(
+            alpha, self.lev_gain_smooth_db, gc_db))
         gain_linear = fmath.exp10_f32(self.lev_gain_smooth_db * (F(1.0) / F(20.0)))
         self.lev_gain_prev_q28 = self.lev_gain_q28
         self.lev_gain_q28 = qref.f32_to_i32(gain_linear * F(C.Q28_ONE))

@@ -47,3 +47,16 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0xD5B1)
+
+
+@pytest.fixture(autouse=True)
+def _rng_spy(request, rng):
+    """Debug aid: record the session rng state entering each test so a
+    full-suite-order failure can be reproduced standalone."""
+    spy = os.environ.get("DSPI_RNG_SPY")
+    if spy:
+        import json
+        with open(spy, "a") as f:
+            f.write(json.dumps({"test": request.node.nodeid,
+                                "state": rng.bit_generator.state}) + "\n")
+    yield

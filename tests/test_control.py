@@ -385,3 +385,56 @@ def test_mck_multiplier_rate_sanitize(dev):
     # and SET_MCK_MULTIPLIER=256 is refused at 96 kHz (usb_audio.c:3115-3126)
     dev.set(R.SET_MCK_MULTIPLIER, 0, b"\x01")
     assert dev.get(R.GET_MCK_MULTIPLIER) == b"\x00"
+
+
+def test_bit_depth_switch_flow():
+    """UAC alt-setting switch: AS alt1 (16-bit) -> alt2 (24-bit)
+    (usb_descriptors.c:64-235).  The engine rebuilds with the 24-bit Q28
+    unpack ((v<<8)>>2, usb_audio.c:997-1006); every DSP state carries
+    across the switch, held bit-exact against a golden device fed the
+    same packet stream straddling the boundary."""
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.golden.model import GoldenDevice
+
+    dev = VirtualDSPi(Platform.RP2040)
+    dev.set(R.SET_EQ_PARAM, 0,
+            struct.pack("<BBBBfff", 0, 0, 1, 0, 1000.0, 1.0, 3.0))
+    eng = Engine(dev.cfg, n_streams=2, pdm=False, unroll=2)
+    dev.commit(eng)
+    assert eng.static.bit_depth == 16
+
+    B = 2
+    lrng = np.random.default_rng(0xBD)
+    goldens = [GoldenDevice(dev.cfg.copy()) for _ in range(B)]
+
+    def run_both(x, depth):
+        out = eng.process(x)
+        want = np.stack(
+            [np.stack([np.asarray(goldens[s].process_packet(
+                np.stack([x[k, 0, :, s], x[k, 1, :, s]], axis=1),
+                bit_depth=depth)["buf_out"]) for k in range(x.shape[0])])
+             for s in range(B)], axis=-1)         # [Npkt, nout, T, B]
+        np.testing.assert_array_equal(np.asarray(out["out"]), want)
+
+    x16 = lrng.integers(-30000, 30000, size=(3, 2, 48, B)).astype(np.int32)
+    run_both(x16, 16)
+
+    dev.set_bit_depth(24)
+    assert dev.dirty and dev.bit_depth == 24
+    state_before = np.asarray(eng.state.eq_a).copy()
+    assert np.abs(state_before).max() > 0
+    assert dev.commit(eng)
+    assert eng.static.bit_depth == 24
+    # filter state persisted across the alt-setting switch (the firmware
+    # keeps running the same chain; only the unpack format changes)
+    np.testing.assert_array_equal(np.asarray(eng.state.eq_a), state_before)
+
+    x24 = lrng.integers(-(1 << 23), 1 << 23,
+                        size=(3, 2, 48, B)).astype(np.int32)
+    run_both(x24, 24)
+
+    # same-depth re-select and unknown alt widths are no-ops
+    dev.set_bit_depth(24)
+    assert not dev.dirty
+    dev.set_bit_depth(20)
+    assert not dev.dirty and dev.bit_depth == 24

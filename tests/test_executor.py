@@ -215,3 +215,31 @@ def test_stream_runner_silence_template_resets_on_structural_commit(rng):
     assert runner.stats.starvations_total > 0
     assert np.asarray(out["out"]).shape[2] == 96
     assert not runner._inflight                   # drained clean
+
+
+def test_chained_runner_bit_depth_commit_rebuilds(rng):
+    """The UAC alt-setting switch (16 -> 24-bit) is structural: the
+    chained program must rebuild with the new unpack
+    (usb_audio.c:591-686) instead of serving the stale 16-bit one."""
+    from dspi_tpu.control.device import VirtualDSPi
+    from dspi_tpu.runtime.executor import ChainedRunner
+
+    dev = VirtualDSPi(Platform.RP2350)
+    eng = Engine(dev.cfg, n_streams=4, pdm=False, unroll=2, emit="reduced")
+    dev.dirty = False
+    runner = ChainedRunner(eng, depth=2)
+    xb = np.stack([make_input(rng, 3, 48, 4) for _ in range(2)])
+    runner.feed(xb)
+
+    dev.set_bit_depth(24)
+    assert dev.commit(eng)
+    runner.commit_params()
+    assert runner._static is eng.static
+    assert eng.static.bit_depth == 24
+
+    xb24 = np.clip(xb.astype(np.int64) * 256,
+                   -(1 << 23), (1 << 23) - 1).astype(np.int32)
+    folds, peaks, clips = runner.feed(xb24)
+    runner.drain()
+    assert np.isfinite(np.asarray(folds)).all()
+    assert int(np.asarray(peaks).max()) > 0

@@ -362,29 +362,35 @@ def test_q28_device_vs_firmware_oracle_exact(name, builder, rng):
     assert m["q28_flip"] == 0.0, m
 
 
-@pytest.mark.parametrize("name,kwargs,scale", [
-    ("q5_full_48k", {}, 0.5),
-    ("q5_full_96k", {"rate": 96000.0}, 0.5),
+@pytest.mark.parametrize("name,kwargs,scale,q28_bound,s24_bound", [
+    ("q5_full_48k", {}, 0.5, 512, 8),
+    ("q5_full_96k", {"rate": 96000.0}, 0.5, 1536, 24),
     # quiet input drives the upward compressor into its boost region every
     # block — libm log10f/powf run with non-unity results (hardest case)
-    ("q5_full_48k_quiet", {}, 0.02),
+    ("q5_full_48k_quiet", {}, 0.02, 512, 8),
 ])
-def test_q28_device_vs_firmware_oracle_leveller(name, kwargs, scale, rng):
+def test_q28_device_vs_firmware_oracle_leveller(name, kwargs, scale,
+                                                q28_bound, s24_bound):
     """Leveller-on: the firmware computes its block gain in float with libm
     and quantizes to Q28 (leveller.c:305-335).  A 1-ulp libm difference can
     flip the quantized gain LSB; this measures the resulting output-word
-    flip rate of the device path (which uses deterministic fmath there)."""
+    flip rate of the device path (which uses deterministic fmath there).
+
+    The drift is INPUT-dependent (whether a gain trajectory grazes an
+    int32 conversion boundary, then how long the smoothing recurrence
+    holds the difference), so this test uses its own pinned rng — the
+    session fixture made the measured number a function of suite order
+    (round-2 flake).  Bounds are ~2x the worst over a 12-seed sweep
+    (2026-08-19, integer-fmath code): 48k {q28 99, s24 2}, quiet
+    {q28 215, s24 4}, 96k {q28 659, s24 11} — the 96k recurrence holds
+    libm-vs-fmath ulps longest.  In full-scale terms the worst bound is
+    1536/2^28 = 5.7e-6."""
+    rng = np.random.default_rng(0xD5B10 + len(name) + int(scale * 100))
     block = 96 if kwargs.get("rate") == 96000.0 else BLOCK
     m = _compare_q28(q5_full(**kwargs), rng, scale=scale, block=block)
     print(f"\n{name}: {m}")
-    # Measured landscape (2026-08-17): full chains at normal level are
-    # BIT-EXACT; in the deep-boost region the smoothed-gain recurrence
-    # accumulates libm-vs-fmath ulps to <=117 Q28 LSB (4.4e-7 of full
-    # scale), <=2 LSB on the 24-bit wire samples, zero PDM word flips
-    # (the modulator input drops 14 LSBs).  Bounds are ~4x the measured
-    # worst case.
-    assert m["q28_max_lsb"] <= 512, m
-    assert m["s24_max_lsb"] <= 4, m
+    assert m["q28_max_lsb"] <= q28_bound, m
+    assert m["s24_max_lsb"] <= s24_bound, m
     if m["pdm_flip"] is not None:
         assert m["pdm_in_flip"] < 2e-2, m
         if m["pdm_in_flip"] == 0.0:
