@@ -104,6 +104,12 @@ class RunnerStats:
         self.max_fill_pct = max(self.max_fill_pct, self.fill_pct)
 
     def record_starvation(self):
+        """One missed feed deadline starves every active slot at once, so
+        each slot's counter AND the global total advance per slot — the
+        firmware increments spdif_dma_starvations alongside each
+        per-instance counter inside every instance's DMA handler
+        (audio_spdif.c:368-372), so its total is likewise the sum over
+        instances, n_slots per simultaneous event."""
         for i in range(min(self.n_slots, 4)):
             self.starvations_slot[i] += 1
             self.starvations_total += 1
