@@ -141,13 +141,19 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
 
 def _pick_bt(B, bt0=None):
     """Stream-tile width: minimal padded lanes ceil(B/bt)*bt, ties to the
-    widest tile (fewer grid steps); small B gets one 128-multiple block."""
+    widest tile (fewer grid steps).  Any B <= 8192 may also run as ONE
+    128-multiple block — essential for hetero bucket sizes just past a
+    power of two (B=1085 would otherwise pad to 2048, 47% idle lanes;
+    a single 1152-lane block wastes 6%)."""
     if bt0 is not None:
         return bt0
     if B <= 1024:
         return -(-B // 128) * 128
     best = None
-    for bt in (8192, 4096, 2048, 1024):
+    cands = [8192, 4096, 2048, 1024]
+    if B <= 8192:
+        cands.append(-(-B // 128) * 128)         # single-block candidate
+    for bt in cands:
         key = (-(-B // bt) * bt, -bt)
         if best is None or key < best[0]:
             best = (key, bt)

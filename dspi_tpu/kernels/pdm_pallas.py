@@ -100,9 +100,13 @@ def _modulate_sample(x_t, err, err2, x1, x2, y1, y2, acc, rng, fade):
     return words, (err, err2, x1, x2, y1, y2, acc, rng, fade)
 
 
-def _pdm_kernel(x_ref, state_ref, words_ref, state_out_ref, *, tc):
+def _pdm_kernel(x_ref, state_ref, words_ref, state_out_ref, *, tc, t_real):
+    """``t_real`` (segments whose length is not a multiple of tc) bounds
+    the final block's loop to the real samples — the time axis is padded
+    to the tc grid and the modulator state must freeze after the last
+    real sample (unlike lanes, time is sequential: letting the state
+    advance through pad samples would corrupt the carried recurrence)."""
     t_chunk = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
 
     @pl.when(t_chunk == 0)
     def _():
@@ -116,7 +120,11 @@ def _pdm_kernel(x_ref, state_ref, words_ref, state_out_ref, *, tc):
             words_ref[i, c] = w
         return carry
 
-    st = lax.fori_loop(0, tc, body, st)
+    if t_real is None:
+        n = tc
+    else:
+        n = jnp.minimum(tc, t_real - t_chunk * tc)
+    st = lax.fori_loop(0, n, body, st)
     for i, v in enumerate(st):
         state_out_ref[i] = v
 
@@ -125,14 +133,21 @@ def _pdm_kernel(x_ref, state_ref, words_ref, state_out_ref, *, tc):
 def pdm_segment_pallas(x, state16, tc: int = 128, bt: int = 1024,
                        interpret: bool = False):
     """x: int32 [Ttot, B]; state16: int32 [16, B].
-    Returns (words uint32 [Ttot, 8, B], state16').  Ttot % tc == 0 and
-    B % bt == 0 required."""
+    Returns (words uint32 [Ttot, 8, B], state16').  B % bt == 0 required;
+    Ttot pads up to the tc grid (Mosaic requires sublane-divisible time
+    blocks, so tc must stay a multiple of 8 — a dynamic loop bound
+    freezes the modulator state after the last real sample and the
+    padded word rows are sliced off)."""
     ttot, b = x.shape
-    assert ttot % tc == 0 and b % bt == 0, (ttot, tc, b, bt)
-    grid = (b // bt, ttot // tc)
+    assert b % bt == 0 and tc % 8 == 0, (ttot, tc, b, bt)
+    tp = -(-ttot // tc) * tc
+    if tp != ttot:
+        x = jnp.pad(x, [(0, tp - ttot), (0, 0)])
+    grid = (b // bt, tp // tc)
 
     words, state_out = pl.pallas_call(
-        functools.partial(_pdm_kernel, tc=tc),
+        functools.partial(_pdm_kernel, tc=tc,
+                          t_real=ttot if tp != ttot else None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tc, bt), lambda bi, ti: (ti, bi)),
@@ -143,11 +158,13 @@ def pdm_segment_pallas(x, state16, tc: int = 128, bt: int = 1024,
             pl.BlockSpec((16, bt), lambda bi, ti: (0, bi)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ttot, 8, b), jnp.int32),
+            jax.ShapeDtypeStruct((tp, 8, b), jnp.int32),
             jax.ShapeDtypeStruct((16, b), jnp.int32),
         ],
         interpret=interpret,
     )(x, state16)
+    if tp != ttot:
+        words = words[:ttot]
     return words.astype(jnp.uint32), state_out
 
 
@@ -195,20 +212,52 @@ def pdm_segment_fast(state, x, tc: int = 128, bt: int = 1024,
 _BT_RTF = {8192: 36800.0, 4096: 29300.0, 2048: 16800.0, 1024: 9000.0}
 
 
+def _rtf_est(bt: int) -> float:
+    """Kernel throughput vs stream-tile width: measured anchor points
+    (_BT_RTF, v5e), linear interpolation between them, and the measured
+    -8% penalty flat above 8192 (README "measured-and-rejected")."""
+    pts = sorted(_BT_RTF.items())
+    if bt <= pts[0][0]:
+        return pts[0][1] * bt / pts[0][0]
+    if bt > pts[-1][0]:
+        return pts[-1][1] * 0.92
+    for (b0, r0), (b1, r1) in zip(pts, pts[1:]):
+        if bt <= b1:
+            return r0 + (r1 - r0) * (bt - b0) / (b1 - b0)
+    return pts[-1][1]
+
+
 def padded_tiles(ttot: int, b: int):
-    """(tc, bt, b_pad, eff_rtf) maximizing measured effective throughput
-    rtf(bt) * b / b_pad, or None if ttot cannot be chunked."""
+    """(tc, bt, b_pad, eff_rtf) maximizing estimated effective throughput
+    rtf(bt) * (real / padded work).
+
+    Lane candidates are the measured power-of-two anchors PLUS fitted
+    128-multiple widths ceil(b/k)/128-rounded — hetero bucket flattening
+    makes widths just past an anchor (8 x 1085 = 8680 would pad to
+    2 x 8192 or 3 x 4096; a fitted 8704 single tile wastes 0.3%).
+
+    tc stays a multiple of 8 (the Mosaic sublane rule); ttot not
+    divisible by tc costs <= tc-1 padded samples on the time axis
+    (44.1 kHz cadences make odd segment lengths, e.g. 13 x 441 = 5733),
+    which the effective-throughput score accounts for.  A divisor tc is
+    preferred only through that score, never by relaxing tc below 8 —
+    blocks of 4/2/1 samples are illegal on the TPU."""
+    cands = set(_BT_RTF)
+    for k in (1, 2, 3, 4):
+        per_tile = -(-b // k)                        # ceil(b / k)
+        cands.add(-(-per_tile // 128) * 128)         # round up to 128
     best = None
-    for bt, r in _BT_RTF.items():
+    for bt in cands:
+        r = _rtf_est(bt)
         b_pad = -(-b // bt) * bt
         cap = max(1, (4 << 20) // (8 * bt * 4))      # words block <= 4 MB
-        tc = next((c for c in (32, 16, 8, 4, 2, 1)
-                   if c <= cap and ttot % c == 0), None)
-        if tc is None:
-            continue
-        eff = r * b / b_pad
-        if best is None or eff > best[3]:
-            best = (tc, bt, b_pad, eff)
+        for tc in (32, 16, 8):
+            if tc > cap and tc != 8:
+                continue
+            t_pad = -(-ttot // tc) * tc
+            eff = r * (b / b_pad) * (ttot / t_pad)
+            if best is None or eff > best[3]:
+                best = (tc, bt, b_pad, eff)
     return best
 
 

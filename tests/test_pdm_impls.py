@@ -51,9 +51,16 @@ def test_pallas_tile_selection():
     assert padded_tiles(3072, 8192)[:3] == (16, 8192, 8192)
     assert padded_tiles(2848, 8192)[:3] == (16, 8192, 8192)  # 44.1 kHz 64pkt
     # non-dividing lane counts pad to the best-effective tile: 8672
-    # (hetero 8 x 1084) pads to 3 x 4096 rather than 2 x 8192
+    # (hetero 8 x 1084) fits one 128-multiple 8704-lane tile: measured
+    # 40,375x eff on v5e vs 24,553x for 2 x 8192 / 24,308x for 3 x 4096
     tc, bt, b_pad, eff = padded_tiles(3072, 8672)
-    assert (bt, b_pad) == (4096, 12288) and eff > 20000
+    assert (bt, b_pad) == (8704, 8704) and eff > 28000
+    # odd segment lengths (13 x 441 = 5733, the 44.1 kHz periodic bench)
+    # must still get a legal multiple-of-8 tc — never 4/2/1, which are
+    # illegal Mosaic time blocks (r2's sched441 TPU crash)
+    tc, bt, b_pad, eff = padded_tiles(5733, 8192)
+    assert tc % 8 == 0 and tc >= 8 and eff > 36000
+    assert padded_tiles(441, 1024)[0] % 8 == 0
     # tiny lane counts lose to the scan lowering
     assert not _pallas_worthwhile(48, 100)
     assert not _pallas_worthwhile(96, 256)
@@ -78,19 +85,24 @@ def test_pallas_equals_fori():
     from dspi_tpu.kernels.pdm_pallas import pdm_segment_fast
 
     rng = np.random.default_rng(11)
-    T, B = (96, 2048) if on_tpu else (8, 1024)
-    x = rng.integers(-(1 << 28), 1 << 28, size=(T, B)).astype(np.int32)
+    # odd segment lengths (the 44.1 kHz cadence makes them, e.g.
+    # 13 x 441 = 5733) pad the time axis to the tc grid with a dynamic
+    # loop bound freezing the state — cover both exact and odd T
+    cases = ((96, 2048), (93, 2048)) if on_tpu else ((8, 1024), (11, 1024))
+    for T, B in cases:
+        x = rng.integers(-(1 << 28), 1 << 28, size=(T, B)).astype(np.int32)
 
-    st0 = _state(B)._replace(pdm_fade=np.full(B, 990, np.int32))
-    s1, w1 = pdm_segment(st0, x, impl="fori")
-    if on_tpu:
-        s2, w2 = pdm_segment(st0, x, impl="pallas")
-    else:
-        s2, w2 = pdm_segment_fast(st0, x, tc=4, bt=1024, interpret=True)
-    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
-    for f in ("pdm_err", "pdm_err2", "pdm_ns", "pdm_rng", "pdm_fade"):
-        np.testing.assert_array_equal(np.asarray(getattr(s1, f)),
-                                      np.asarray(getattr(s2, f)), err_msg=f)
+        st0 = _state(B)._replace(pdm_fade=np.full(B, 990, np.int32))
+        s1, w1 = pdm_segment(st0, x, impl="fori")
+        if on_tpu:
+            s2, w2 = pdm_segment(st0, x, impl="pallas")
+        else:
+            s2, w2 = pdm_segment_fast(st0, x, tc=8, bt=1024, interpret=True)
+        np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+        for f in ("pdm_err", "pdm_err2", "pdm_ns", "pdm_rng", "pdm_fade"):
+            np.testing.assert_array_equal(np.asarray(getattr(s1, f)),
+                                          np.asarray(getattr(s2, f)),
+                                          err_msg=f)
 
 
 def test_pallas_padded_lanes_and_vmap_flatten():
