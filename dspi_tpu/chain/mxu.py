@@ -72,11 +72,37 @@ class _Layout(NamedTuple):
     period: int | None      # repeating-pattern length (None: aperiodic)
 
 
-def _sched_layout(static, Npkt) -> _Layout:
+def _lti_block(ttot: int) -> int | None:
+    """Largest divisor of ``ttot`` in [24, 192] — the uniform LTI
+    re-blocking size (None if ttot has no divisor in range)."""
+    best = None
+    for t in range(24, 193):
+        if ttot % t == 0:
+            best = t
+    return best
+
+
+def _sched_layout(static, Npkt, lti: bool = False) -> _Layout:
+    """``lti=True``: layout for a pass that is linear and time-invariant
+    over the whole segment.  LTI state evolution is blocking-invariant —
+    only the leveller's packet-rate gain staircase and envelope reads
+    actually depend on the firmware's 44/45-sample USB packet boundaries
+    (leveller.c:147-262) — so the block matmuls of a scheduled chain are
+    free to re-block the flat sample stream uniformly (pure reshapes, no
+    pad/stack choreography, one shared matrix).  Measured on v5e: the
+    44.1 kHz cadence chain ran 6.7k x with per-packet 44/45 blocks and
+    the periodic pack/unpack; re-blocked uniform it tracks the 48 kHz
+    chain.  (The Q28 path's Mosaic kernels already time-block
+    independently of the packet grid — eq_pallas.py kt — which is why
+    scheduled Q28 never paid this tax.)"""
     from .pipeline import _pattern_len, _ramp_indices
 
     if static.schedule:
         sched = np.asarray(static.schedule, np.int64)
+        if lti and not bool((sched == sched.max()).all()):
+            T = _lti_block(int(sched.sum()))
+            if T:
+                sched = np.full(int(sched.sum()) // T, T, np.int64)
     else:
         sched = np.full(Npkt, static.block_size, np.int64)
     Tmax = int(sched.max())
@@ -417,7 +443,7 @@ def chain_a(static, p, st, bl, br, master_bands, Npkt):
 
     bl/br: [Ttot, B] post-preamp samples.  Returns (st', bl', br')."""
     _check_homogeneous(p)
-    layout = _sched_layout(static, Npkt)
+    layout = _sched_layout(static, Npkt, lti=True)
     Tmax = layout.tmax
     outs = [bl, br]
     for ch in (0, 1):
@@ -462,16 +488,46 @@ def env_packet_ends(static, p, st, bl, br, Npkt):
                              jnp.ones((1,), jnp.float32)]) * (1.0 - a)
         return jnp.concatenate([w, jnp.zeros((Tmax - s,), jnp.float32)])
 
-    y2l = _to_packets(bl, layout)
-    y2r = _to_packets(br, layout)
-    y2l = y2l * y2l
-    y2r = y2r * y2r
     if uniform:
+        y2l = _to_packets(bl, layout)
+        y2r = _to_packets(br, layout)
+        y2l = y2l * y2l
+        y2r = y2r * y2r
         w = w_for(Tmax)
         cl = jnp.einsum("t,ptb->pb", w, y2l, precision=_HI)
         cr = jnp.einsum("t,ptb->pb", w, y2r, precision=_HI)
         aT_seq = jnp.broadcast_to(pw[Tmax - 1], (Npkt,))
+    elif layout.period:
+        # periodic fast path: no pad/stack packing — per-packet weighted
+        # sums straight off the flat stream via a [p, P]-row einsum
+        # (row j is packet j's a^(s-1-i)*(1-a) weights at its own offsets
+        # within the P-sample period, zero elsewhere)
+        pp = layout.period
+        pat = layout.sched[:pp]
+        P = int(pat.sum())
+        nper = Npkt // pp
+        wflat = jnp.concatenate(
+            [w_for(int(s))[:int(s)] for s in pat])            # [P]
+        mask = np.zeros((pp, P), np.float32)
+        off = 0
+        for j, s in enumerate(pat):
+            mask[j, off:off + int(s)] = 1.0
+            off += int(s)
+        W = jnp.asarray(mask) * wflat[None, :]                # [p, P]
+        y2l = bl.reshape(nper, P, -1)
+        y2r = br.reshape(nper, P, -1)
+        y2l = y2l * y2l
+        y2r = y2r * y2r
+        cl = jnp.einsum("jt,ntb->njb", W, y2l,
+                        precision=_HI).reshape(Npkt, -1)
+        cr = jnp.einsum("jt,ntb->njb", W, y2r,
+                        precision=_HI).reshape(Npkt, -1)
+        aT_seq = jnp.stack([pw[int(s) - 1] for s in sched])
     else:
+        y2l = _to_packets(bl, layout)
+        y2r = _to_packets(br, layout)
+        y2l = y2l * y2l
+        y2r = y2r * y2r
         ws = {s: w_for(s) for s in sorted({int(v) for v in sched})}
         w_seq = jnp.stack([ws[int(s)] for s in sched])        # [Npkt, Tmax]
         cl = jnp.einsum("pt,ptb->pb", w_seq, y2l, precision=_HI)
@@ -549,7 +605,7 @@ def chain_b(static, p, st, bl, br, out_bands, Npkt):
     of the scan path produces, to matmul rounding."""
     _check_homogeneous(p)
     nout = static.n_outputs
-    layout = _sched_layout(static, Npkt)
+    layout = _sched_layout(static, Npkt, lti=True)
     sched, Tmax, uniform = layout.sched, layout.tmax, layout.uniform
 
     if static.crossfeed_on:

@@ -66,7 +66,7 @@ from ..core.qmath import q28_mul
 
 def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
                    nb, has_loud, has_env, kt, per_pkt, env_rows,
-                   env_dense, t_real):
+                   env_dense, t_real, lane_cf):
     """One (cascade, stream-tile, time-block) grid step.
 
     ``kt`` samples per time-block (divides the packet size; chosen
@@ -77,7 +77,14 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
     static end indices).  ``t_real`` (scheduled segments whose length
     is not a multiple of kt) bounds the final block's loop to the real
     samples — the time axis is padded to the kt grid, and the state
-    must freeze after the last real sample."""
+    must freeze after the last real sample.
+
+    ``lane_cf``: coefficients and scalars arrive as PER-LANE [bt]
+    vector rows instead of per-cascade scalars (cf_ref [1, nr*5, bt]
+    VMEM, scal_ref [1, 4, bt] VMEM) — the grouped/hetero lowering,
+    where one wide lane tile spans streams of several configs.  The
+    band math is identical: coefficient broadcasts just become
+    elementwise vector multiplies, which cost the VPU the same."""
     from ..chain.pipeline import _band_step_q28, _tdf2_q28_bypassable
 
     if has_env:
@@ -91,12 +98,21 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
     def _():
         s_out_ref[...] = s_ref[...]
 
-    cf = cf_ref[0]                                     # [loud+nb, 5]
     n_loud = 2 if has_loud else 0
-    if has_loud:
-        byp = (scal_ref[g, 0] != 0, scal_ref[g, 1] != 0)
-    if has_env:
-        a_rms, one_minus = scal_ref[g, 2], scal_ref[g, 3]
+    if lane_cf:
+        # [bt] vector rows, hoisted out of the sample loop
+        cf = [tuple(cf_ref[0, j * 5 + k] for k in range(5))
+              for j in range(n_loud + nb)]
+        if has_loud:
+            byp = (scal_ref[0, 0] != 0, scal_ref[0, 1] != 0)
+        if has_env:
+            a_rms, one_minus = scal_ref[0, 2], scal_ref[0, 3]
+    else:
+        cf = cf_ref[0]                                 # [loud+nb, 5]
+        if has_loud:
+            byp = (scal_ref[g, 0] != 0, scal_ref[g, 1] != 0)
+        if has_env:
+            a_rms, one_minus = scal_ref[g, 2], scal_ref[g, 3]
 
     rows = 2 * (n_loud + nb) + (1 if has_env else 0)
     carry0 = tuple(s_out_ref[0, r] for r in range(rows))
@@ -161,7 +177,8 @@ def _pick_bt(B, bt0=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _core(nb, has_loud, has_env, tc, sched, bt0, interpret):
+def _core(nb, has_loud, has_env, tc, sched, bt0, interpret,
+          lane_cf=False):
     n_loud = 2 if has_loud else 0
     env_dense = bool(has_env and sched)
 
@@ -185,7 +202,8 @@ def _core(nb, has_loud, has_env, tc, sched, bt0, interpret):
         def est(k):
             env = (2 * k if env_dense else
                    2 * env_rows if has_env else 0)
-            return 4 * bt * (4 * k + 4 * S + env)
+            lane = (cf.shape[1] + 4) if lane_cf else 0
+            return 4 * bt * (4 * k + 4 * S + env + lane)
         if sched:
             # any multiple-of-8 block (TPU sublane rule); the time axis
             # pads to the kt grid and the kernel's dynamic loop bound
@@ -201,22 +219,27 @@ def _core(nb, has_loud, has_env, tc, sched, bt0, interpret):
         Tp = -(-Ttot // kt) * kt
 
         if cf.shape[1] == 0:            # envelope-only cascade: the kernel
-            cfa = jnp.zeros((G, 1, 5), jnp.int32)  # never reads cf, but the
+            cfa = jnp.zeros((G, 1, 5) if not lane_cf else (G, 5, B),
+                            jnp.int32)  # never reads cf, but the
         else:                                      # block machinery needs rows
             cfa = cf
         if Bp != B:                 # idle lanes, sliced off below
             b_pad = [(0, 0), (0, 0), (0, Bp - B)]
             x = jnp.pad(x, b_pad)
             s0 = jnp.pad(s0, b_pad)
+            if lane_cf:             # padded lanes compute garbage, dropped
+                cfa = jnp.pad(cfa, b_pad)
+                scal = jnp.pad(scal, b_pad)
         if Tp != Ttot:              # time pads to the kt grid; the
             x = jnp.pad(x, [(0, 0), (0, Tp - Ttot), (0, 0)])
-        nr = cfa.shape[1]           # kernel's loop bound stops at Ttot
+        nr = cfa.shape[1] if not lane_cf else cfa.shape[1] // 5
 
         grid = (G, Bp // bt, Tp // kt)
         kern = functools.partial(_cascade_block, nb=nb, has_loud=has_loud,
                                  has_env=has_env, kt=kt, per_pkt=per_pkt,
                                  env_rows=env_rows, env_dense=env_dense,
-                                 t_real=Ttot if Tp != Ttot else None)
+                                 t_real=Ttot if Tp != Ttot else None,
+                                 lane_cf=lane_cf)
         out_shape = [jax.ShapeDtypeStruct((G, Tp, Bp), jnp.int32)]
         out_specs = [pl.BlockSpec((1, kt, bt),
                                   lambda g, bi, ti: (g, ti, bi))]
@@ -248,8 +271,12 @@ def _core(nb, has_loud, has_env, tc, sched, bt0, interpret):
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=64 << 20),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, nr, 5), lambda g, bi, ti: (g, 0, 0)),
+                pl.BlockSpec((1, 4, bt), lambda g, bi, ti: (g, 0, bi))
+                if lane_cf else pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nr * 5 if lane_cf else nr,
+                              bt if lane_cf else 5),
+                             lambda g, bi, ti: ((g, 0, bi) if lane_cf
+                                                else (g, 0, 0))),
                 pl.BlockSpec((1, kt, bt), lambda g, bi, ti: (g, ti, bi)),
                 pl.BlockSpec((1, S, bt), lambda g, bi, ti: (g, 0, bi)),
             ],
@@ -274,16 +301,43 @@ def _core(nb, has_loud, has_env, tc, sched, bt0, interpret):
 
     @core.def_vmap
     def _rule(axis_size, in_batched, x, cf, s0, scal):
-        """K vmapped groups -> one call with K*G cascades (pure reshape:
-        the cascade axis is leading)."""
-        args = []
+        """K vmapped groups -> one call over K*B-wide lane tiles.
+
+        Streams of all K groups flatten into the LANE axis (the PDM
+        kernel's pattern) rather than the cascade grid: per-grid-step
+        vector width sets VPU efficiency, so 8 groups x 1024 streams
+        run as ONE 8192-lane call at anchor efficiency instead of 8x
+        more 1024-lane grid steps (measured 7,045x -> see README for
+        the grouped Q28 chain).  Coefficients/scalars become per-lane
+        [K*B] rows (each group's scalars broadcast over its own lane
+        range), handled by the kernel's ``lane_cf`` variant — the band
+        math is unchanged, broadcasts just become elementwise vector
+        multiplies."""
+        k = axis_size
+        vs = []
         for v, b in zip((x, cf, s0, scal), in_batched):
             if not b:
-                v = jnp.broadcast_to(v[None], (axis_size,) + v.shape)
-            args.append(v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:]))
-        res = core(*args)
-        k = axis_size
-        out = tuple(v.reshape((k, v.shape[0] // k) + v.shape[1:])
+                v = jnp.broadcast_to(v[None], (k,) + v.shape)
+            vs.append(v)
+        x, cf, s0, scal = vs
+        G, Ttot, B = x.shape[1:]
+        xl = jnp.moveaxis(x, 0, -2).reshape(G, Ttot, k * B)
+        s0l = jnp.moveaxis(s0, 0, -2).reshape(G, s0.shape[2], k * B)
+        if lane_cf:                       # nested vmap: already per-lane
+            cfl = jnp.moveaxis(cf, 0, -2).reshape(G, cf.shape[2], k * B)
+            scl = jnp.moveaxis(scal, 0, -2).reshape(G, 4, k * B)
+        else:
+            nr = cf.shape[2]
+            cfl = jnp.broadcast_to(
+                cf.transpose(1, 2, 3, 0).reshape(G, nr * 5, k)[..., None],
+                (G, nr * 5, k, B)).reshape(G, nr * 5, k * B)
+            scl = jnp.broadcast_to(
+                scal.transpose(1, 2, 0)[..., None],
+                (G, 4, k, B)).reshape(G, 4, k * B)
+        lane_core = _core(nb, has_loud, has_env, tc, sched, bt0,
+                          interpret, lane_cf=True)
+        res = lane_core(xl, cfl, s0l, scl)
+        out = tuple(jnp.moveaxis(v.reshape(v.shape[:-1] + (k, B)), -2, 0)
                     for v in res)
         return out, (True,) * len(out)
 
