@@ -74,8 +74,12 @@ class VirtualDSPi:
         self._stats_seq = 0
         # UAC streaming alt setting: alt1 = 16-bit, alt2 = 24-bit
         # (usb_descriptors.c:64-235); per-packet unpack format follows it
-        # (usb_audio.c:591-686).  16-bit at boot (alt0 idle -> alt1).
-        self.bit_depth = 16
+        # (usb_audio.c:591-686).  None until the host explicitly selects
+        # an alt (alt0 idle at boot): commit() then keeps whatever
+        # bit_depth the attached engine was built with, instead of
+        # silently forcing a 16-bit unpack into a 24-bit engine on the
+        # first unrelated config commit.
+        self.bit_depth = None
         self.store.boot_load(self.cfg)
 
     def attach_runner(self, runner) -> None:

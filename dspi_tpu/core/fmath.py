@@ -263,10 +263,12 @@ def mul_det(a, b):
     """Exact IEEE-754 float32 multiply (round-to-nearest-even), computed
     in integer ops so no backend can contract it into an FMA.
 
-    Semantically identical to a lone ``np.float32(a) * np.float32(b)`` —
-    same bits — for normal and zero operands; results below the normal
-    range flush to zero (the firmware cores run FPSCR FZ, main.c:592-600,
-    so flush-to-zero IS the reference semantics) and above it clamp to the
+    Semantically identical to a lone ``np.float32(a) * np.float32(b)``
+    under FPSCR FZ — same bits — for any operands: denormal operands are
+    flushed to zero on entry and results below the normal range flush to
+    a signed zero (the firmware cores run FPSCR FZ|DN, main.c:592-600,
+    which flushes both inputs and outputs, so flush-to-zero IS the
+    reference semantics); results above the normal range clamp to the
     largest finite float32.  Use this wherever a float product feeds an
     add on an exactness-critical path: the product's defining ops are
     integer, so the downstream add has no visible multiply to fuse with."""
@@ -291,11 +293,15 @@ def mul_det(a, b):
     mant = xp.where(carry == 1, mant >> 1, mant)
     e = ea + eb - 127 + top + carry
     out_bits = xp.where(
-        e <= 0, _I32(0),                                  # FTZ underflow
+        e <= 0, sign,                                     # FTZ underflow
         xp.where(e >= 255, sign | _I32(0x7F7FFFFF),       # clamp overflow
                  sign | (e << 23) | (mant & 0x7FFFFF)))
-    zero = ((abits & 0x7FFFFFFF) == 0) | ((bbits & 0x7FFFFFFF) == 0)
-    return _bitcast_f32(xp.where(zero, _I32(0), out_bits), xp)
+    # Biased exponent 0 covers +-0 AND denormals: FZ flushes denormal
+    # operands on input, so both act as a zero of their own sign, and the
+    # product keeps the IEEE sign rule (advisor r3: the old path treated
+    # denormal mantissas as normals and returned unsigned +0).
+    zero = (ea == 0) | (eb == 0)
+    return _bitcast_f32(xp.where(zero, sign, out_bits), xp)
 
 
 def smooth_det(alpha, prev, target):

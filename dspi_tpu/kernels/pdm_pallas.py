@@ -250,9 +250,13 @@ def padded_tiles(ttot: int, b: int):
     for bt in cands:
         r = _rtf_est(bt)
         b_pad = -(-b // bt) * bt
-        cap = max(1, (4 << 20) // (8 * bt * 4))      # words block <= 4 MB
+        # words block <= 4 MB.  No tc exemption: a lane candidate whose
+        # minimum-legal tc=8 block would still blow the budget (fitted
+        # bt > 16384) is skipped outright — the <=8192 anchors always
+        # satisfy the cap at tc=8, so a best candidate always exists.
+        cap = max(1, (4 << 20) // (8 * bt * 4))
         for tc in (32, 16, 8):
-            if tc > cap and tc != 8:
+            if tc > cap:
                 continue
             t_pad = -(-ttot // tc) * tc
             eff = r * (b / b_pad) * (ttot / t_pad)

@@ -380,10 +380,12 @@ def test_q28_device_vs_firmware_oracle_leveller(name, kwargs, scale,
     int32 conversion boundary, then how long the smoothing recurrence
     holds the difference), so this test uses its own pinned rng — the
     session fixture made the measured number a function of suite order
-    (round-2 flake).  Bounds are ~2x the worst over a 12-seed sweep
-    (2026-08-19, integer-fmath code): 48k {q28 99, s24 2}, quiet
-    {q28 215, s24 4}, 96k {q28 659, s24 11} — the 96k recurrence holds
-    libm-vs-fmath ulps longest.  In full-scale terms the worst bound is
+    (round-2 flake).  Worst over a 12-seed sweep (2026-08-19,
+    integer-fmath code): 48k {q28 99, s24 2}, quiet {q28 215, s24 4},
+    96k {q28 659, s24 11} — the 96k recurrence holds libm-vs-fmath ulps
+    longest.  Asserted bounds carry per-case margin over those worsts:
+    ~5x/4x for the 48k cases (cheap headroom at small absolute values),
+    ~2.3x/2.2x for 96k.  In full-scale terms the worst bound is
     1536/2^28 = 5.7e-6."""
     rng = np.random.default_rng(0xD5B10 + len(name) + int(scale * 100))
     block = 96 if kwargs.get("rate") == 96000.0 else BLOCK
