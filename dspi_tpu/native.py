@@ -53,6 +53,12 @@ def _load():
     lib.dspi_unpack_s24.argtypes = [u8p, ctypes.c_int64, i32p, i32p]
     lib.dspi_pack_s24.argtypes = [i32p, i32p, ctypes.c_int64, u8p]
     lib.dspi_to_time_major.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, i32p]
+    lib.dspi_deframe_s16_batch.argtypes = [u8p, ctypes.c_int64,
+                                           ctypes.c_int64, ctypes.c_int64,
+                                           i32p, ctypes.c_int32]
+    lib.dspi_deframe_s24_batch.argtypes = [u8p, ctypes.c_int64,
+                                           ctypes.c_int64, ctypes.c_int64,
+                                           i32p, ctypes.c_int32]
     lib.dspi_q28_cascade_block.argtypes = [i32p, i32p, ctypes.c_int32, i32p,
                                            ctypes.c_int64]
     lib.dspi_pdm_block.argtypes = [i32p, i32p, ctypes.c_int64, u32p]
@@ -100,6 +106,36 @@ def pack_s24(left: np.ndarray, right: np.ndarray) -> bytes:
     lib.dspi_pack_s24(_i32p(left), _i32p(right), len(left),
                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out.tobytes()
+
+
+def deframe_batch(payloads: np.ndarray, npkt: int, block: int,
+                  bit_depth: int = 16, n_threads: int = 0) -> np.ndarray:
+    """Batched USB-byte deframe straight into the engine's input layout.
+
+    ``payloads``: uint8 [B, npkt*block*bpf] — each row one stream's raw
+    USB payload byte stream (bpf = 4 for interleaved s16 LRLR, 6 for
+    packed s24 LRLR; unpack semantics usb_audio.c:591-594 / 997-1006).
+    Returns int32 [npkt, 2, block, B] ready for ``Engine.process`` /
+    ``device_put`` — deframe, channel split, packetization and the lane
+    transpose fused in one multithreaded native pass.
+
+    ``n_threads`` 0 = DSPI_NATIVE_THREADS env or all cores."""
+    lib = _load()
+    bpf = 6 if bit_depth == 24 else 4
+    payloads = np.ascontiguousarray(payloads, np.uint8)
+    b, nbytes = payloads.shape
+    if nbytes != npkt * block * bpf:
+        raise ValueError(f"payload rows carry {nbytes} bytes; "
+                         f"npkt*block*bpf = {npkt * block * bpf}")
+    if not n_threads:
+        n_threads = int(os.environ.get("DSPI_NATIVE_THREADS", 0)) \
+            or (os.cpu_count() or 1)
+    out = np.empty((npkt, 2, block, b), np.int32)
+    fn = (lib.dspi_deframe_s24_batch if bit_depth == 24
+          else lib.dspi_deframe_s16_batch)
+    fn(payloads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+       b, npkt, block, _i32p(out), n_threads)
+    return out
 
 
 def to_time_major(planar: np.ndarray) -> np.ndarray:

@@ -263,15 +263,24 @@ class ChainedRunner:
     """
 
     def __init__(self, engine, depth: int = 8, deadline_s: float | None = None,
-                 n_slots: int | None = None, mesh: Mesh | None = None):
+                 n_slots: int | None = None, mesh: Mesh | None = None,
+                 pre=None):
         """``mesh``: optional 1-D ``streams`` mesh — shard the engine first
         (``shard_engine(engine, mesh)``) and every batch partitions across
         chips with zero collectives, exactly like the single-segment path;
-        the chained program is jitted once and XLA SPMD-partitions it."""
+        the chained program is jitted once and XLA SPMD-partitions it.
+
+        ``pre``: optional traced per-segment input transform applied
+        INSIDE the jitted chain — e.g. ``kernels.deframe.make_pre`` to
+        feed raw USB payload bytes and unpack on device (the firmware
+        unpacks on-device too, usb_audio.c:591-686).  With ``pre`` set,
+        ``feed`` takes xb of shape [depth, *pre_input] and the shape
+        check moves behind the transform."""
         self.engine = engine
         self.depth = depth
         self.deadline_s = deadline_s
         self.mesh = mesh
+        self.pre = pre
         if n_slots is None:
             n_slots = engine.static.n_spdif
         self.stats = RunnerStats(n_slots=n_slots, max_inflight=2)
@@ -290,10 +299,13 @@ class ChainedRunner:
         # pre-jit segment contract, so one runner serves homogeneous,
         # K-config grouped, and arbitrary per-stream heterogeneous fleets.
         raw = engine.segment_fn
+        pre = self.pre
 
         def run(params, state, xb, pm):
             def body(st, seg):
                 x_seg, pm_seg = seg
+                if pre is not None:
+                    x_seg = pre(x_seg)
                 st, out = raw(params, st, x_seg, pm_seg)
                 fold = sum(jnp.sum(v).astype(jnp.float32)
                            for v in jax.tree.leaves(out))
@@ -351,13 +363,22 @@ class ChainedRunner:
         if preset_mute is None:
             # [depth, npkt, 2, T, B] homogeneous / [depth, K, npkt, 2, T, G]
             # grouped: npkt sits at -4 either way; scheduled chains carry
-            # it in the static.
+            # it in the static; a ``pre`` hook carries its own (the fed
+            # payload shape no longer frames packets).
             npkt = (len(self.engine.static.schedule)
-                    if self.engine.static.schedule else xb.shape[-4])
+                    if self.engine.static.schedule
+                    else getattr(self.pre, "npkt", None) or xb.shape[-4])
             preset_mute = jnp.ones((self.depth, npkt), jnp.float32)
         if self.mesh is not None:
             sh = getattr(xb, "sharding", None)
             if getattr(sh, "mesh", None) != self.mesh:
+                # auto-sharding assumes the trailing stream axis of framed
+                # planes; a ``pre`` input's stream axis is its own business
+                # (e.g. payload words carry it at -2), so the caller
+                # device_puts with the right spec
+                assert self.pre is None, (
+                    "with pre=, device_put the batch with its stream-axis "
+                    "sharding before feeding")
                 xb = shard_input(np.asarray(xb), self.mesh)
         self.engine.state, folds, peaks, clips = self._run(
             self._params_dev, self.engine.state, xb, preset_mute)

@@ -26,6 +26,12 @@ collectives, the SURVEY §2.3 mapping):
 Multi-tenant (8 distinct configs scattered across the streams, served
 through HeteroServer's bucketing dispatcher):
   python examples/serve.py 16384 12 --hetero
+Full firmware-equivalent data plane (every batch starts from raw USB
+payload BYTES — interleaved s16 LRLR — instead of device-resident
+planes; covers USB-bytes -> planes -> chain -> wire-words):
+  python examples/serve.py 8192 12 --framed       (native host deframe)
+  python examples/serve.py 8192 12 --framed-dev   (on-device deframe,
+                                                   half the upload bytes)
 """
 
 import struct
@@ -61,7 +67,7 @@ def _trimmed_mean_wall(walls):
 
 def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
                   npkt: int = 32, block: int = 48, unroll: int = 48,
-                  use_mesh: bool = False):
+                  use_mesh: bool = False, framed: str | None = None):
     from bench import full_chain_config
 
     dev = VirtualDSPi(Platform.RP2350)
@@ -80,28 +86,74 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
         print(f"mesh: {len(mesh.devices.ravel())} devices, stream axis "
               "sharded, params replicated, zero collectives", flush=True)
 
+    pre = None
+    if framed == "device":
+        from dspi_tpu.kernels.deframe import make_pre
+        pre = make_pre(npkt, block)
+
     batch_audio_s = depth * npkt * block / dev.cfg.sample_rate
     runner = ChainedRunner(eng, depth=depth, deadline_s=batch_audio_s,
-                           mesh=mesh)
+                           mesh=mesh, pre=pre)
     dev.attach_runner(runner)
     tele = EngineTelemetry(sample_rate=dev.cfg.sample_rate)
 
-    # one device-resident pool of `depth` DISTINCT segments; each feed is
-    # a fresh dispatch over it (deployment feeds arrive via DMA, not host
-    # numpy — the chip-side work per batch is identical)
     import jax
     rng = np.random.default_rng(0)
-    xb = rng.integers(-20000, 20000,
-                      size=(depth, npkt, 2, block, n_streams)).astype(np.int32)
-    if mesh is not None:
-        from dspi_tpu.runtime.executor import shard_input
-        xb = shard_input(xb, mesh)
-    else:
-        xb = jax.device_put(xb)
+    deframe_walls = []
+    if framed:
+        # the full firmware-equivalent data plane: every batch starts
+        # from raw USB payload BYTES (interleaved s16 LRLR), either
+        # deframed on the host by the native data plane
+        # (native/dspi_host.cpp::dspi_deframe_s16_batch) and uploaded as
+        # planes, or uploaded raw and deframed on device inside the
+        # jitted chain (kernels/deframe.py — half the transfer bytes)
+        from dspi_tpu import native as dn
+        samples = np.ascontiguousarray(rng.integers(
+            -20000, 20000, size=(depth, n_streams, npkt * block * 2),
+            dtype=np.int16))                     # interleaved LRLR frames
+        payload = samples.view(np.uint8)         # the raw USB byte stream
+        payload_words = samples.view(np.int32)   # zero-copy s16-pair view
 
+        def next_batch():
+            t0 = time.perf_counter()
+            if framed == "host":
+                xb_ = np.stack([dn.deframe_batch(payload[d], npkt, block)
+                                for d in range(depth)])
+            else:
+                xb_ = payload_words
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                spec = (P(None, None, None, None, "streams")
+                        if framed == "host"          # planes: B trailing
+                        else P(None, "streams", None))  # words: B at -2
+                xb_ = jax.device_put(xb_, NamedSharding(mesh, spec))
+            else:
+                xb_ = jax.device_put(xb_)
+            deframe_walls.append(time.perf_counter() - t0)
+            return xb_
+    else:
+        # one device-resident pool of `depth` DISTINCT segments; each
+        # feed is a fresh dispatch over it (deployment feeds arrive via
+        # DMA, not host numpy — the chip-side work per batch is
+        # identical)
+        xb = rng.integers(
+            -20000, 20000,
+            size=(depth, npkt, 2, block, n_streams)).astype(np.int32)
+        if mesh is not None:
+            from dspi_tpu.runtime.executor import shard_input
+            xb = shard_input(xb, mesh)
+        else:
+            xb = jax.device_put(xb)
+
+        def next_batch():
+            return xb
+
+    mode = {None: "device wire encode on",
+            "host": "native host deframe from USB bytes",
+            "device": "on-device deframe from USB bytes"}[framed]
     print(f"serving {n_streams} streams, {n_batches} batches of "
           f"{depth} x {npkt} packets ({1000 * batch_audio_s:.0f} ms audio "
-          f"per batch), device wire encode on", flush=True)
+          f"per batch), {mode}", flush=True)
 
     def gains():
         return np.stack([dev.packet_gains(npkt, block)
@@ -110,7 +162,7 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
     walls = []
     for b in range(n_batches):
         t0 = time.perf_counter()
-        done = runner.feed(xb, preset_mute=gains())
+        done = runner.feed(next_batch(), preset_mute=gains())
         wall = time.perf_counter() - t0
         if b > 0:
             # steady-state: each feed forces the PREVIOUS batch; its wall
@@ -144,6 +196,14 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
     print(f"done: {n_batches * depth * npkt} packets/stream, "
           f"{sustained:.0f}x RT sustained (trimmed mean, {n_streams} streams), "
           f"starvations {starv}")
+    if framed and len(deframe_walls) > 1:
+        w = _trimmed_mean_wall(deframe_walls[1:])
+        gb = payload.nbytes / 1e9               # USB bytes per batch
+        stage = ("host deframe + upload" if framed == "host"
+                 else "payload upload")
+        print(f"  {stage}: {1000 * w:.0f} ms/batch "
+              f"({gb / w:.2f} GB/s of USB bytes, "
+              f"{n_streams * batch_audio_s / w:.0f}x RT envelope)")
     return sustained
 
 
@@ -275,8 +335,10 @@ def main():
     elif "--hetero" in sys.argv:
         serve_hetero(n_streams, n_batches, **kw)
     else:
+        framed = ("device" if "--framed-dev" in sys.argv
+                  else "host" if "--framed" in sys.argv else None)
         serve_chained(n_streams, n_batches,
-                      use_mesh="--mesh" in sys.argv, **kw)
+                      use_mesh="--mesh" in sys.argv, framed=framed, **kw)
 
 
 if __name__ == "__main__":

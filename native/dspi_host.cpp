@@ -152,6 +152,100 @@ API void dspi_pack_s24(const int32_t* in_l, const int32_t* in_r,
     }
 }
 
+// Batched deframe: B streams' raw USB payload byte rows -> the engine's
+// device input layout int32 [npkt][2][block][B] in ONE pass (deframe +
+// channel split + packetize + lane transpose fused).  bytes is row-major
+// [B][npkt*block*bpf] with bpf = 4 (interleaved s16 LRLR,
+// usb_audio.c:591-594) or 6 (packed s24 LRLR, usb_audio.c:997-1006 byte
+// assembly, sign-extended, pre-Q28-shift).  Cache-blocked over
+// (frame, stream) tiles: a tile's reads are contiguous per-stream chunks
+// and its writes are contiguous [tile_b] lane runs, so both sides stay
+// inside L1.  Multithreaded over stream tiles (each thread owns disjoint
+// lane ranges of every output row, no false sharing at tile_b >= 16).
+#include <thread>
+#include <vector>
+
+namespace {
+
+template <int BPF>
+static void deframe_tile(const uint8_t* bytes, int64_t stride,
+                         int64_t frames, int64_t block, int64_t B,
+                         int64_t b0, int64_t b1, int32_t* out) {
+    constexpr int64_t TI = 64;
+    for (int64_t i0 = 0; i0 < frames; i0 += TI) {
+        int64_t i1 = i0 + TI < frames ? i0 + TI : frames;
+        for (int64_t b = b0; b < b1; b++) {
+            const uint8_t* p = bytes + b * stride + i0 * BPF;
+            for (int64_t i = i0; i < i1; i++, p += BPF) {
+                int32_t l, r;
+                if (BPF == 4) {
+                    l = (int16_t)(p[0] | (p[1] << 8));
+                    r = (int16_t)(p[2] | (p[3] << 8));
+                } else {
+                    l = (int32_t)((uint32_t)p[2] << 24 |
+                                  (uint32_t)p[1] << 16 |
+                                  (uint32_t)p[0] << 8) >> 8;
+                    r = (int32_t)((uint32_t)p[5] << 24 |
+                                  (uint32_t)p[4] << 16 |
+                                  (uint32_t)p[3] << 8) >> 8;
+                }
+                int64_t pkt = i / block, t = i % block;
+                int32_t* row = out + ((pkt * 2) * block + t) * B;
+                row[b] = l;
+                row[block * B + b] = r;
+            }
+        }
+    }
+}
+
+template <int BPF>
+static void deframe_batch(const uint8_t* bytes, int64_t n_streams,
+                          int64_t npkt, int64_t block, int32_t* out,
+                          int n_threads) {
+    const int64_t frames = npkt * block;
+    const int64_t stride = frames * BPF;
+    constexpr int64_t TB = 64;
+    int64_t n_tiles = (n_streams + TB - 1) / TB;
+    if (n_threads < 1) n_threads = 1;
+    if ((int64_t)n_threads > n_tiles) n_threads = (int)n_tiles;
+    if (n_threads == 1) {
+        deframe_tile<BPF>(bytes, stride, frames, block, n_streams,
+                          0, n_streams, out);
+        return;
+    }
+    std::vector<std::thread> ths;
+    ths.reserve(n_threads);
+    for (int t = 0; t < n_threads; t++) {
+        int64_t tile_lo = n_tiles * t / n_threads;
+        int64_t tile_hi = n_tiles * (t + 1) / n_threads;
+        int64_t b0 = tile_lo * TB;
+        int64_t b1 = tile_hi * TB < n_streams ? tile_hi * TB : n_streams;
+        if (b0 >= b1) continue;
+        ths.emplace_back([=] {
+            for (int64_t bb = b0; bb < b1; bb += TB) {
+                int64_t be = bb + TB < b1 ? bb + TB : b1;
+                deframe_tile<BPF>(bytes, stride, frames, block,
+                                  n_streams, bb, be, out);
+            }
+        });
+    }
+    for (auto& th : ths) th.join();
+}
+
+}  // namespace
+
+API void dspi_deframe_s16_batch(const uint8_t* bytes, int64_t n_streams,
+                                int64_t npkt, int64_t block, int32_t* out,
+                                int32_t n_threads) {
+    deframe_batch<4>(bytes, n_streams, npkt, block, out, n_threads);
+}
+
+API void dspi_deframe_s24_batch(const uint8_t* bytes, int64_t n_streams,
+                                int64_t npkt, int64_t block, int32_t* out,
+                                int32_t n_threads) {
+    deframe_batch<6>(bytes, n_streams, npkt, block, out, n_threads);
+}
+
 // ---------------------------------------------------------------------------
 // fast Q28 oracle: biquad cascade block
 // coeffs: [bands][5] = b0,b1,b2,a1,a2; state: [bands][2] = s1,s2 (updated)

@@ -99,3 +99,42 @@ def test_native_pdm_matches_golden(rng):
     np.testing.assert_array_equal(words.astype(np.int64), np.array(want))
     assert state[0] == g.pdm_err and state[1] == g.pdm_err2
     assert np.uint32(state[7]) == g.pdm_rng
+
+
+@pytest.mark.parametrize("bit_depth", [16, 24])
+def test_native_deframe_batch(rng, bit_depth):
+    """deframe_batch == per-stream unpack + packetize + lane transpose."""
+    B, npkt, block = 70, 3, 48          # non-multiple of the 64-lane tile
+    frames = npkt * block
+    if bit_depth == 16:
+        vals = rng.integers(-32768, 32768,
+                            size=(B, frames, 2)).astype(np.int16)
+        payloads = np.frombuffer(vals.tobytes(), np.uint8).reshape(B, -1)
+    else:
+        vals = rng.integers(-(2**23), 2**23,
+                            size=(B, frames, 2)).astype(np.int32)
+        payloads = np.stack([np.frombuffer(
+            native.pack_s24(vals[b, :, 0], vals[b, :, 1]), np.uint8)
+            for b in range(B)])
+    for n_threads in (1, 4):
+        out = native.deframe_batch(payloads, npkt, block,
+                                   bit_depth=bit_depth,
+                                   n_threads=n_threads)
+        assert out.shape == (npkt, 2, block, B)
+        want = vals.astype(np.int32).reshape(B, npkt, block, 2)
+        want = np.moveaxis(want, (0, 3), (3, 1))       # -> [npkt,2,block,B]
+        np.testing.assert_array_equal(out, want)
+
+
+def test_native_deframe_batch_matches_single_stream_unpack(rng):
+    """The batched path and the original one-stream helpers agree."""
+    npkt, block = 2, 48
+    frames = npkt * block
+    s16 = rng.integers(-32768, 32768, size=frames * 2, dtype=np.int16)
+    payloads = np.frombuffer(s16.tobytes(), np.uint8).reshape(1, -1)
+    out = native.deframe_batch(payloads, npkt, block)
+    l, r = native.unpack_s16(s16.tobytes())
+    np.testing.assert_array_equal(
+        out[:, 0, :, 0].reshape(-1), l)
+    np.testing.assert_array_equal(
+        out[:, 1, :, 0].reshape(-1), r)
