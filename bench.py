@@ -214,8 +214,19 @@ def main():
         rtfq, _ = bench_engine(cq, B, NPKT, ITERS, UNROLL)
         details["full_chain_48k_q28"] = {"rtf": rtfq}
 
-        with open("BENCH_DETAILS.json", "w") as f:
-            json.dump(details, f, indent=2)
+        # merge (never clobber): BENCH_DETAILS.json is the committed
+        # superset of published numbers; bench_stages.py contributes the
+        # per-stage entries under DSPI_BENCH_COMMIT=1
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAILS.json")
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(details)
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=2)
 
     print(json.dumps({
         "metric": "full 11-channel chain RTF @48kHz (audio-sec/sec/chip)",

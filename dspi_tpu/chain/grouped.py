@@ -179,6 +179,23 @@ class HeteroServer:
         self.n_streams = len(ids)
         counts = np.bincount(ids, minlength=K)
         G = int(counts.max())
+        # Lane-align the bucket width: a G that is not a multiple of the
+        # 128-lane vreg width drags a misaligned minor dimension through
+        # EVERY lane-axis op of the vmapped chain — measured 28% of the
+        # full Q28 chain's wall at G=1085 vs 1152 on v5e (round-4 probe
+        # `probe_hetero_q28.py ablate/align`: grouped 9545x, hetero even
+        # 8840x, hetero G=1085 6171x, hetero G=1152 7921x), far more than
+        # the 6% extra padded lanes cost.  Padded slots recompute some
+        # real stream and are dropped by the inverse permutation exactly
+        # like ordinary bucket padding.  G <= 128 occupies a single
+        # (partial) vreg row — no cross-row misalignment to fix — and
+        # alignment only pays while the extra padded lanes cost less
+        # than the ~28% misalignment penalty they remove (G=134 -> 256
+        # would nearly double the work), so both keep the exact width.
+        if G > 128:
+            g_aligned = -(-G // 128) * 128
+            if g_aligned <= G * 1.25:
+                G = g_aligned
         perm = np.zeros((K, G), np.int64)
         valid = np.zeros((K, G), bool)
         for k in range(K):

@@ -200,15 +200,23 @@ def test_native_crossfeed_coefficients_close():
         assert abs(float(d.crossfeed.lp_b1) - 0.0) > 0  # derived path ran
 
 
-def test_mxu_device_path_vs_firmware_oracle(rng):
+def test_mxu_device_path_vs_firmware_oracle():
     """The PRODUCTION float path (MXU block-state-space lowering) measured
     DIRECTLY against the firmware-float oracle — not transitively through
     the golden model.  This is the strongest form of the BASELINE
-    "<=1e-6 RMS vs firmware" gate for what actually serves on TPU."""
+    "<=1e-6 RMS vs firmware" gate for what actually serves on TPU.
+
+    Pinned rng: the measured RMS vs the libm oracle is input-dependent
+    (which leveller gain trajectories graze conversion boundaries), and
+    under the shared session fixture the drawn input — and so the
+    measured number — was a function of suite order (adding any earlier
+    rng-consuming test re-rolled it; same flake class as the Q28
+    leveller tests above)."""
     from dspi_tpu.chain import Engine
 
     cfg = cfg5_full_96k()
     block = 96
+    rng = np.random.default_rng(0xD5B1F)
     x = make_input(rng, NPKT, block, 1, scale=0.5)
     fw = native.FirmwareFloat(cfg, coeff_source="design")
     want, _ = fw.process(x[..., 0], bit_depth=16)

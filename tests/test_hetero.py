@@ -174,6 +174,18 @@ def test_hetero_server_padding_waste_bounded():
     assert srv.grouped.streams_per_group == 6
     assert srv.padding_waste == pytest.approx(3 * 6 / 8 - 1.0)
 
+    # above one vreg row the bucket width lane-aligns to a 128 multiple
+    # when the padding is cheaper than the ~28%-of-wall misalignment
+    # penalty (measured on v5e — see grouped.py)
+    ids_big = np.arange(1500) % 3            # counts 500 -> aligns to 512
+    srv_big = HeteroServer(cfgs, ids_big, pdm=False, unroll=2, mxu=False)
+    assert srv_big.grouped.streams_per_group == 512
+    assert srv_big.padding_waste == pytest.approx(3 * 512 / 1500 - 1.0)
+
+    ids_bad = np.arange(402) % 3             # counts 134: 256 too costly
+    srv_bad = HeteroServer(cfgs, ids_bad, pdm=False, unroll=2, mxu=False)
+    assert srv_bad.grouped.streams_per_group == 134
+
 
 def test_hetero_server_chained_runner(rng):
     """ChainedRunner drives a HeteroServer through its segment_fn: the
