@@ -73,13 +73,22 @@ class _Layout(NamedTuple):
 
 
 def _lti_block(ttot: int) -> int | None:
-    """Largest divisor of ``ttot`` in [24, 192] — the uniform LTI
-    re-blocking size (None if ttot has no divisor in range)."""
-    best = None
-    for t in range(24, 193):
+    """SMALLEST divisor of ``ttot`` in [32, 192] — the uniform LTI
+    re-blocking size (None if ttot has no divisor in range).
+
+    Per-sample MXU work in the blocked apply scales linearly with the
+    block size T (the [T, T] x-response matrix), so smaller blocks win
+    until the per-packet scan turns latency-bound.  Measured on v5e,
+    44.1 kHz cadence chain (13x441 samples, B=8192), round 4:
+    T=147: 8,861x / 117: 9,502x / 91: 9,848x / 63: 9,964x / 49: 9,932x /
+    T=39: 10,418x / 21: 9,583x (the latency cliff).  Round 3 shipped
+    the LARGEST divisor on a claim the re-block "tracks the 48 kHz
+    chain" — the measurement above corrects it; the floor of 32 keeps a
+    margin above the measured cliff at 21."""
+    for t in range(32, 193):
         if ttot % t == 0:
-            best = t
-    return best
+            return t
+    return None
 
 
 def _sched_layout(static, Npkt, lti: bool = False) -> _Layout:
