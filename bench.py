@@ -219,14 +219,7 @@ def main():
         # per-stage entries under DSPI_BENCH_COMMIT=1
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_DETAILS.json")
-        try:
-            with open(path) as f:
-                merged = json.load(f)
-        except (OSError, ValueError):
-            merged = {}
-        merged.update(details)
-        with open(path, "w") as f:
-            json.dump(merged, f, indent=2)
+        merge_bench_details(path, details)
 
     print(json.dumps({
         "metric": "full 11-channel chain RTF @48kHz (audio-sec/sec/chip)",
@@ -234,6 +227,29 @@ def main():
         "unit": "x realtime",
         "vs_baseline": round(rtf, 1),       # reference firmware RTF == 1.0
     }))
+
+
+def merge_bench_details(path: str, entries: dict) -> None:
+    """Merge entries into the committed record ATOMICALLY.
+
+    A corrupt existing file aborts instead of silently resetting the
+    record (a truncated file from a killed run must be restored from
+    git, not papered over); the write goes through a temp file +
+    os.replace so a killed run can never leave a half-written file."""
+    try:
+        with open(path) as f:
+            merged = json.load(f)
+    except FileNotFoundError:
+        merged = {}
+    except ValueError as e:
+        raise RuntimeError(
+            f"{path} exists but is not valid JSON ({e}); restore it "
+            "(git checkout) before merging new benchmark entries") from e
+    merged.update(entries)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=2)
+    os.replace(tmp, path)
 
 
 if __name__ == "__main__":

@@ -299,21 +299,16 @@ def main():
     if os.environ.get("DSPI_BENCH_COMMIT"):
         # merge this run's entries into the committed machine-readable
         # record (BENCH_DETAILS.json) so every README number is traceable
-        # to a committed JSON entry (round-3 VERDICT #6)
+        # to a committed JSON entry (round-3 VERDICT #6).  Atomic +
+        # corrupt-file-aborting (bench.merge_bench_details).
+        from bench import merge_bench_details
+
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_DETAILS.json")
-        try:
-            with open(path) as f:
-                details = json.load(f)
-        except (OSError, ValueError):
-            details = {}
-        for k, v in out.items():
-            if k in ("B", "NPKT", "UNROLL", "backend"):
-                continue
-            details[k] = v
-        with open(path, "w") as f:
-            json.dump(details, f, indent=2)
-        print(f"merged {len(out) - 4} entries into {path}", flush=True)
+        entries = {k: v for k, v in out.items()
+                   if k not in ("B", "NPKT", "UNROLL", "backend")}
+        merge_bench_details(path, entries)
+        print(f"merged {len(entries)} entries into {path}", flush=True)
 
 
 if __name__ == "__main__":

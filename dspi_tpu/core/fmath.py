@@ -264,12 +264,15 @@ def mul_det(a, b):
     in integer ops so no backend can contract it into an FMA.
 
     Semantically identical to a lone ``np.float32(a) * np.float32(b)``
-    under FPSCR FZ — same bits — for any operands: denormal operands are
-    flushed to zero on entry and results below the normal range flush to
-    a signed zero (the firmware cores run FPSCR FZ|DN, main.c:592-600,
-    which flushes both inputs and outputs, so flush-to-zero IS the
-    reference semantics); results above the normal range clamp to the
-    largest finite float32.  Use this wherever a float product feeds an
+    under FPSCR FZ — same bits — for any FINITE operands: denormal
+    operands are flushed to zero on entry and results below the normal
+    range flush to a signed zero (the firmware cores run FPSCR FZ|DN,
+    main.c:592-600, which flushes both inputs and outputs, so
+    flush-to-zero IS the reference semantics); results above the normal
+    range clamp to the largest finite float32.  Inf/NaN operands are
+    OUTSIDE the contract (they would decode as huge finite values) —
+    the leveller/gain paths that call this never produce them.
+    Use this wherever a float product feeds an
     add on an exactness-critical path: the product's defining ops are
     integer, so the downstream add has no visible multiply to fuse with."""
     xp = _mods(a)

@@ -363,11 +363,21 @@ class ChainedRunner:
         if preset_mute is None:
             # [depth, npkt, 2, T, B] homogeneous / [depth, K, npkt, 2, T, G]
             # grouped: npkt sits at -4 either way; scheduled chains carry
-            # it in the static; a ``pre`` hook carries its own (the fed
-            # payload shape no longer frames packets).
-            npkt = (len(self.engine.static.schedule)
-                    if self.engine.static.schedule
-                    else getattr(self.pre, "npkt", None) or xb.shape[-4])
+            # it in the static; a ``pre`` hook must carry its own as an
+            # ``npkt`` attribute (kernels.deframe.make_pre does) — the
+            # fed payload shape no longer frames packets, so guessing
+            # from it would build a wrong-shaped mute staircase.
+            if self.engine.static.schedule:
+                npkt = len(self.engine.static.schedule)
+            elif self.pre is not None:
+                npkt = getattr(self.pre, "npkt", None)
+                if npkt is None:
+                    raise ValueError(
+                        "a custom pre hook must expose .npkt (packets "
+                        "per segment) or preset_mute must be passed "
+                        "explicitly — the payload shape cannot frame it")
+            else:
+                npkt = xb.shape[-4]
             preset_mute = jnp.ones((self.depth, npkt), jnp.float32)
         if self.mesh is not None:
             sh = getattr(xb, "sharding", None)
@@ -375,10 +385,13 @@ class ChainedRunner:
                 # auto-sharding assumes the trailing stream axis of framed
                 # planes; a ``pre`` input's stream axis is its own business
                 # (e.g. payload words carry it at -2), so the caller
-                # device_puts with the right spec
-                assert self.pre is None, (
-                    "with pre=, device_put the batch with its stream-axis "
-                    "sharding before feeding")
+                # device_puts with the right spec (a hard error, not an
+                # assert: under python -O a silent fall-through would
+                # shard the wrong axis)
+                if self.pre is not None:
+                    raise ValueError(
+                        "with pre=, device_put the batch with its "
+                        "stream-axis sharding before feeding")
                 xb = shard_input(np.asarray(xb), self.mesh)
         self.engine.state, folds, peaks, clips = self._run(
             self._params_dev, self.engine.state, xb, preset_mute)

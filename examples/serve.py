@@ -108,17 +108,29 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
         # planes, or uploaded raw and deframed on device inside the
         # jitted chain (kernels/deframe.py — half the transfer bytes)
         from dspi_tpu import native as dn
-        samples = np.ascontiguousarray(rng.integers(
-            -20000, 20000, size=(depth, n_streams, npkt * block * 2),
-            dtype=np.int16))                     # interleaved LRLR frames
-        payload = samples.view(np.uint8)         # the raw USB byte stream
-        payload_words = samples.view(np.int32)   # zero-copy s16-pair view
+        if framed == "host":
+            # one stream's bytes for the WHOLE batch are contiguous, so
+            # a single native call deframes all depth segments (out is
+            # [depth*npkt, 2, block, B] — a pure reshape away from the
+            # batch layout) instead of depth calls each paying thread
+            # create/join
+            samples = np.ascontiguousarray(rng.integers(
+                -20000, 20000,
+                size=(n_streams, depth * npkt * block * 2),
+                dtype=np.int16))                 # interleaved LRLR frames
+            payload = samples.view(np.uint8)     # [B, depth*npkt*blk*4]
+        else:
+            samples = np.ascontiguousarray(rng.integers(
+                -20000, 20000, size=(depth, n_streams, npkt * block * 2),
+                dtype=np.int16))
+            payload = samples.view(np.uint8)
+            payload_words = samples.view(np.int32)   # [depth, B, frames]
 
         def next_batch():
             t0 = time.perf_counter()
             if framed == "host":
-                xb_ = np.stack([dn.deframe_batch(payload[d], npkt, block)
-                                for d in range(depth)])
+                xb_ = dn.deframe_batch(payload, depth * npkt, block)
+                xb_ = xb_.reshape(depth, npkt, 2, block, n_streams)
             else:
                 xb_ = payload_words
             if mesh is not None:
@@ -129,6 +141,11 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
                 xb_ = jax.device_put(xb_, NamedSharding(mesh, spec))
             else:
                 xb_ = jax.device_put(xb_)
+            # force ONE element back before stopping the clock: on
+            # tunneled backends device_put returns before the copy
+            # completes, and the stage stat must measure the finished
+            # upload, not the dispatch (bench.py honesty rules)
+            float(np.asarray(xb_[(0,) * xb_.ndim]))
             deframe_walls.append(time.perf_counter() - t0)
             return xb_
     else:
@@ -202,7 +219,7 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
         stage = ("host deframe + upload" if framed == "host"
                  else "payload upload")
         print(f"  {stage}: {1000 * w:.0f} ms/batch "
-              f"({gb / w:.2f} GB/s of USB bytes, "
+              f"({1000 * gb / w:.0f} MB/s of USB bytes, "
               f"{n_streams * batch_audio_s / w:.0f}x RT envelope)")
     return sustained
 
