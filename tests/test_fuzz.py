@@ -93,3 +93,29 @@ def test_random_config_float_matches_golden(seed):
         num = np.sqrt(np.mean((got[..., s] - want) ** 2))
         den = np.sqrt(np.mean(want.astype(np.float64) ** 2)) + 1e-30
         assert num / den < 3e-6, (seed, s, num / den)
+
+
+@pytest.mark.parametrize("seed", [606, 707])
+def test_random_schedule_q28_bitexact(seed):
+    """Random APERIODIC variable-packet schedules — the gather fallback
+    in _to_packets/_pkts_to_flat and per-size padded machinery, beyond
+    the firmware's own 44/45 cadence — stay bit-exact on random
+    configs."""
+    rng = np.random.default_rng(seed)
+    cfg = random_config(rng, Platform.RP2040)
+    sched = tuple(int(v) for v in rng.integers(24, 64, size=9))
+    eng = Engine(cfg, n_streams=2, schedule=sched, unroll=4)
+    ttot = sum(sched)
+    x = rng.integers(-16000, 16000, size=(2, ttot, 2)).astype(np.int32)
+    out = eng.process(x)
+    for s in range(2):
+        g = GoldenDevice(cfg.copy())
+        pkts, off = [], 0
+        for t in sched:
+            frames = np.stack([x[0, off:off + t, s],
+                               x[1, off:off + t, s]], axis=1)
+            pkts.append(g.process_packet(frames, bit_depth=16))
+            off += t
+        want = np.concatenate([np.asarray(p["buf_out"]) for p in pkts],
+                              axis=-1)
+        np.testing.assert_array_equal(np.asarray(out["out"])[..., s], want)
