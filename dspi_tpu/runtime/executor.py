@@ -42,21 +42,35 @@ def _shard_last(mesh: Mesh):
 
 
 def shard_engine(engine, mesh: Mesh | None = None):
-    """Move an Engine's state onto a mesh, sharded over streams.
+    """Move an engine's state onto a mesh, sharded over streams.
 
     Parameters stay replicated (they are small and shared); every state
-    array and input batch is split on its trailing stream axis.  Because
-    the pipeline has no cross-stream operations XLA partitions it with no
-    collectives at all — per-chip programs run independently over ICI-less
-    data parallelism.
-    """
+    array whose trailing axis is the stream/lane axis is split on it.
+    Because the pipeline has no cross-stream operations XLA partitions it
+    with no collectives at all — per-chip programs run independently over
+    ICI-less data parallelism.
+
+    Serves ``Engine`` (state leaves end in ``n_streams``) and
+    ``GroupedEngine``/``HeteroServer`` (grouped leaves end in
+    ``streams_per_group``; per-group 1-D leaves of shape [K] replicate —
+    only trailing-lane axes shard).  The lane width must be divisible by
+    the mesh size; HeteroServer's 128-lane bucket alignment guarantees
+    that for any mesh <= 128 chips at serving sizes."""
     if mesh is None:
         mesh = make_mesh()
+    grouped = getattr(engine, "grouped", None)          # HeteroServer
+    width = getattr(grouped or engine, "streams_per_group",
+                    getattr(engine, "n_streams", None))
     spec = _shard_last(mesh)
-    engine.state = jax.tree.map(
-        lambda x: jax.device_put(x, spec(x)) if x is not None else None,
-        engine.state)
     repl = NamedSharding(mesh, P())
+
+    def place_state(x):
+        if x is None:
+            return None
+        lanes = getattr(x, "ndim", 0) >= 1 and x.shape[-1] == width
+        return jax.device_put(x, spec(x) if lanes else repl)
+
+    engine.state = jax.tree.map(place_state, engine.state)
     engine.params = jax.tree.map(
         lambda x: jax.device_put(x, repl) if x is not None else None,
         engine.params)

@@ -263,3 +263,37 @@ def test_starvation_counting_matches_firmware_totals():
     st4.record_starvation()
     assert st4.starvations_slot == [1, 1, 1, 1]
     assert st4.starvations_total == 4
+
+
+def test_hetero_server_sharded_matches_single_device(rng):
+    """A HeteroServer shards over the mesh: grouped state leaves split on
+    their lane (G) axis, per-group 1-D leaves replicate, and the bucketing
+    permutes SPMD-partition — outputs bit-equal to the unsharded run."""
+    from dspi_tpu.chain.grouped import HeteroServer
+    from dspi_tpu.runtime.executor import ChainedRunner
+
+    cfg_a = rich_config(Platform.RP2040, leveller=False, pdm=False)
+    cfg_b = rich_config(Platform.RP2040, leveller=False, pdm=False)
+    cfg_b.master_volume_db = -16.0
+    B, K = 32, 2
+    ids = np.arange(B) % K                 # even buckets: G = 16, 8 | 16
+
+    def build():
+        return HeteroServer([cfg_a, cfg_b], ids, emit="reduced",
+                            pdm=False, unroll=2, mxu=False)
+
+    xb = np.stack([make_input(rng, 2, 48, B) for _ in range(2)])
+
+    ref = build()
+    r_ref = ChainedRunner(ref, depth=2)
+    want = np.asarray(r_ref.feed(xb)[0])
+    r_ref.drain()
+
+    srv = build()
+    mesh = make_mesh()
+    shard_engine(srv, mesh)
+    assert len(srv.state.eq_a.sharding.device_set) == 8
+    r = ChainedRunner(srv, depth=2, mesh=mesh)
+    got = np.asarray(r.feed(xb)[0])
+    r.drain()
+    np.testing.assert_array_equal(got, want)
