@@ -168,7 +168,12 @@ class HeteroServer:
     analog: re-flashing a different preset set).
     """
 
-    def __init__(self, cfgs, stream_config_ids, **kw):
+    def __init__(self, cfgs, stream_config_ids, lane_multiple: int = 1,
+                 **kw):
+        """``lane_multiple``: force the bucket width to a multiple of
+        this (on top of the 128-lane vreg alignment below) — pass the
+        mesh device count when the fleet shards over a mesh, since each
+        bucket's lane axis splits across chips."""
         import jax
         import jax.numpy as jnp
 
@@ -196,6 +201,8 @@ class HeteroServer:
             g_aligned = -(-G // 128) * 128
             if g_aligned <= G * 1.25:
                 G = g_aligned
+        if lane_multiple > 1:
+            G = -(-G // lane_multiple) * lane_multiple
         perm = np.zeros((K, G), np.int64)
         valid = np.zeros((K, G), bool)
         for k in range(K):

@@ -226,12 +226,14 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
 
 def serve_hetero(n_streams: int, n_batches: int, n_cfgs: int = 8,
                  depth: int = 8, npkt: int = 32, block: int = 48,
-                 unroll: int = 48):
+                 unroll: int = 48, use_mesh: bool = False):
     """Multi-tenant serving: n_cfgs distinct device configs scattered
     across n_streams streams in arbitrary order, bucketed onto the
     vmapped pipeline by HeteroServer and chained on device by
     ChainedRunner — one readback per batch, live per-tenant coefficient
-    swaps at batch boundaries."""
+    swaps at batch boundaries.  ``use_mesh`` shards the fleet over every
+    visible chip (grouped state on its lane axis, bucketing permutes
+    SPMD-partitioned)."""
     from bench import full_chain_config
     from dspi_tpu.chain.grouped import HeteroServer
 
@@ -245,15 +247,32 @@ def serve_hetero(n_streams: int, n_batches: int, n_cfgs: int = 8,
     rng = np.random.default_rng(0)
     ids = rng.integers(0, n_cfgs, size=n_streams)
 
+    mesh = None
+    lane_multiple = 1
+    if use_mesh:
+        from dspi_tpu.runtime.executor import make_mesh, shard_engine
+        mesh = make_mesh()
+        lane_multiple = len(mesh.devices.ravel())
     srv = HeteroServer(cfgs, ids, block_size=block, emit="reduced",
-                       pdm=True, unroll=unroll, pdm_fade=False)
+                       pdm=True, unroll=unroll, pdm_fade=False,
+                       lane_multiple=lane_multiple)
+    if mesh is not None:
+        shard_engine(srv, mesh)
+        print(f"mesh: {lane_multiple} devices, grouped lane axis sharded",
+              flush=True)
     batch_audio_s = depth * npkt * block / cfgs[0].sample_rate
-    runner = ChainedRunner(srv, depth=depth, deadline_s=batch_audio_s)
+    runner = ChainedRunner(srv, depth=depth, deadline_s=batch_audio_s,
+                           mesh=mesh)
 
     import jax
-    xb = jax.device_put(rng.integers(
+    xb = rng.integers(
         -20000, 20000,
-        size=(depth, npkt, 2, block, n_streams)).astype(np.int32))
+        size=(depth, npkt, 2, block, n_streams)).astype(np.int32)
+    if mesh is not None:
+        from dspi_tpu.runtime.executor import shard_input
+        xb = shard_input(xb, mesh)
+    else:
+        xb = jax.device_put(xb)
     print(f"hetero serving: {n_cfgs} configs scattered over {n_streams} "
           f"streams (padding waste {100 * srv.padding_waste:.1f}%), "
           f"{n_batches} batches of {depth} x {npkt} packets", flush=True)
@@ -350,7 +369,8 @@ def main():
     if "--interactive" in sys.argv:
         serve_interactive(n_streams, n_batches)
     elif "--hetero" in sys.argv:
-        serve_hetero(n_streams, n_batches, **kw)
+        serve_hetero(n_streams, n_batches,
+                     use_mesh="--mesh" in sys.argv, **kw)
     else:
         framed = ("device" if "--framed-dev" in sys.argv
                   else "host" if "--framed" in sys.argv else None)
