@@ -24,8 +24,9 @@ Multi-chip (shard the stream axis over every visible device — zero
 collectives, the SURVEY §2.3 mapping):
   python examples/serve.py 8192 12 --mesh
 Multi-tenant (8 distinct configs scattered across the streams, served
-through HeteroServer's bucketing dispatcher):
-  python examples/serve.py 16384 12 --hetero
+through HeteroServer's bucketing dispatcher; combine with --mesh to
+shard the fleet over every visible chip):
+  python examples/serve.py 16384 12 --hetero [--mesh]
 Full firmware-equivalent data plane (every batch starts from raw USB
 payload BYTES — interleaved s16 LRLR — instead of device-resident
 planes; covers USB-bytes -> planes -> chain -> wire-words):
