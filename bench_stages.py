@@ -2,8 +2,8 @@
 """Per-stage microbenchmarks on the real TPU: where does the time go?
 
 Usage:  python bench_stages.py [stage ...]
-Stages: pdm chain wire nopdm passthrough peq full96 q28 grouped hetero
-        grouped_q28 hetero_q28 sched441 sched441_q28 sweep
+Stages: pdm chain wire wire_q28 nopdm passthrough peq full96 q28 grouped
+        hetero grouped_q28 hetero_q28 sched441 sched441_q28 sweep
 Env:    DSPI_BENCH_STREAMS, DSPI_BENCH_PACKETS, DSPI_BENCH_UNROLL,
         DSPI_PDM_IMPL, DSPI_PDM_UNROLL
 
@@ -238,6 +238,13 @@ def main():
             cfg = full_chain_config(Platform.RP2350)
             rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL, wire=True)
             out["full_chain_wire"] = {"rtf": rtf, "wall": dt}
+        elif s == "wire_q28":
+            # Q28 wire-included (round-4 VERDICT #8): the integer chain
+            # converts to the same s24 words (q28_to_s24) and feeds the
+            # same IEC 60958 / I2S encoders as the float path
+            cfg = full_chain_config(Platform.RP2040)
+            rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL, wire=True)
+            out["full_chain_wire_q28"] = {"rtf": rtf, "wall": dt}
         elif s == "nopdm":
             cfg = full_chain_config(Platform.RP2350)
             rtf, dt = bench_engine(cfg, B, NPKT, ITERS, UNROLL, pdm=False)

@@ -75,6 +75,10 @@ class Engine:
         self.cfg = cfg
         self.n_streams = n_streams
         self._rate = float(cfg.sample_rate)
+        # Tracked copy of the sub-output enable (the config object is
+        # typically shared with the control plane and mutated in place,
+        # so cfg is no witness at update_config time).
+        self._pdm_out_on = bool(pdm and cfg.outputs[-1].enabled)
         self.derived = derive(cfg)
         self.static = build_static(self.derived, block_size=block_size,
                                    bit_depth=bit_depth, emit=emit, pdm=pdm,
@@ -136,7 +140,7 @@ class Engine:
             pdm=old_static.pdm_on or cfg.outputs[-1].enabled,
             unroll=old_static.unroll, outer_unroll=old_static.outer_unroll,
             schedule=schedule, mxu=old_static.mxu,
-            wire=bool(old_static.wire))
+            wire=bool(old_static.wire), pdm_keep=old_static.pdm_on)
         structural = new_static != old_static
         if structural:
             self.static = new_static
@@ -173,6 +177,19 @@ class Engine:
         # position (process_type_switches, main.c:230-423)
         if old_static.wire and new_static.wire != old_static.wire:
             st = st._replace(wire_pos=np.int32(0))
+        # PDM (sub output) enable transition: flip the control-plane flag
+        # in state; the kernels run the firmware's core-1 loop reactions —
+        # disable starts the 1024-sample fade-out, re-enable mid-fade
+        # converts it to a fade-in, re-enable after a completed stop does
+        # a full modulator restart (pdm_generator.c:217-252).  The stage
+        # stays compiled across a runtime disable (pdm_keep above) so the
+        # fade-out actually runs.
+        new_pdm_out = bool(cfg.outputs[-1].enabled)
+        if (self.static.pdm_on and st.pdm_ena is not None
+                and new_pdm_out != self._pdm_out_on):
+            st = st._replace(pdm_ena=np.full(
+                np.shape(st.pdm_ena), int(new_pdm_out), np.int32))
+        self._pdm_out_on = new_pdm_out
         self.state = st
 
     def _reset_leveller(self, st):

@@ -84,8 +84,16 @@ def _lti_block(ttot: int) -> int | None:
     T=39: 10,418x / 21: 9,583x (the latency cliff).  Round 3 shipped
     the LARGEST divisor on a claim the re-block "tracks the 48 kHz
     chain" — the measurement above corrects it; the floor of 32 keeps a
-    margin above the measured cliff at 21."""
+    margin above the measured cliff at 21.
+
+    A ttot whose ONLY in-range divisors sit in [24, 32) (e.g.
+    841 = 29x29) still re-blocks — a slightly-past-the-cliff block beats
+    silently losing the LTI lowering entirely (the per-packet scan path
+    it would fall back to measured 6.7k x vs ~10k re-blocked)."""
     for t in range(32, 193):
+        if ttot % t == 0:
+            return t
+    for t in range(31, 23, -1):                 # fallback: largest in [24,32)
         if ttot % t == 0:
             return t
     return None

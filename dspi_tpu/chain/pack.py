@@ -150,7 +150,14 @@ class ChainState(NamedTuple):
     pdm_err2: Any             # [B] i32
     pdm_ns: Any               # [5, B] i32: x1, x2, y1, y2, err_acc
     pdm_rng: Any              # [B] u32
-    pdm_fade: Any             # [B] i32
+    pdm_fade: Any             # [B] i32 fade_in_pos
+    # enable/fade-out state machine (pdm_generator.c:217-252,323-338):
+    # the control plane flips pdm_ena; kernels run the firmware's loop
+    # reactions (fade-out start, mid-fade cancel, restart reset).
+    pdm_ena: Any              # [B] i32 pdm_enabled
+    pdm_run: Any              # [B] i32 hw_running
+    pdm_fout: Any             # [B] i32 fade_out_pos
+    pdm_base: Any             # [B] i32 fade_base_pcm
     clip_flags: Any           # [B] i32 sticky bitmask
     wire_pos: Any             # scalar i32: IEC 60958 frame position (0-191)
 
@@ -159,7 +166,13 @@ def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
                  emit: str = "full", pdm: bool = True,
                  unroll: int = 8, outer_unroll: int = 1,
                  schedule=None, mxu: bool = False,
-                 wire: bool = False) -> StaticChain:
+                 wire: bool = False, pdm_keep: bool = False) -> StaticChain:
+    """``pdm_keep``: keep the PDM stage compiled even though the sub
+    output is disabled — a RUNTIME disable must keep the modulator alive
+    for the 1024-sample fade-out and a possible mid-fade re-enable
+    (pdm_generator.c:217-252); Engine.update_config passes the old
+    static's pdm_on so a disable transition never drops the stage
+    mid-fade.  Fresh builds with the sub output off omit it as before."""
     cfg = d.config
     if schedule:
         block_size = max(schedule)
@@ -210,7 +223,7 @@ def build_static(d: DerivedParams, block_size: int, bit_depth: int = 16,
         output_mute=tuple(bool(x) for x in g.output_mute),
         delayed_outputs=tuple(delayed),
         delay_ring=ring,
-        pdm_on=bool(pdm and g.output_enabled[nout - 1]),
+        pdm_on=bool(pdm and (g.output_enabled[nout - 1] or pdm_keep)),
         emit=emit,
         unroll=unroll,
         outer_unroll=outer_unroll,
@@ -346,18 +359,26 @@ def build_params_multi(deriveds: list, static: StaticChain,
                 "heterogeneous configs must share static structure; "
                 f"mismatch for config with bands {s.band_kinds}")
     per = [build_params(d, static) for d in deriveds]
+    ids = (None if stream_config_ids is None
+           else np.asarray(stream_config_ids, np.int64))
 
     def stack(*xs):
         if xs[0] is None:
             return None
-        return np.stack([np.asarray(x) for x in xs], axis=-1)
+        arrs = [np.asarray(x) for x in xs]
+        # Collapse config-uniform leaves back to the homogeneous form:
+        # a coefficient identical across every config (delays, loudness
+        # tables, crossfeed poles in a typical multi-tenant mix) keeps
+        # its scalar/broadcast lowering in the pipeline — critically the
+        # delay lines, whose per-stream variant is a major-axis gather
+        # over [D+T, B] per output (measured 27x slower whole-chain when
+        # uniform delays were needlessly per-lane, probe_group_tax).
+        if all(np.array_equal(arrs[0], a) for a in arrs[1:]):
+            return arrs[0]
+        stacked = np.stack(arrs, axis=-1)
+        return stacked if ids is None else stacked[..., ids]
 
-    stacked = ChainParams(*[stack(*vals) for vals in zip(*per)])
-    if stream_config_ids is not None:
-        ids = np.asarray(stream_config_ids, np.int64)
-        stacked = ChainParams(*[
-            None if v is None else v[..., ids] for v in stacked])
-    return stacked
+    return ChainParams(*[stack(*vals) for vals in zip(*per)])
 
 
 def init_state(static: StaticChain, n_streams: int,
@@ -396,6 +417,8 @@ def init_state(static: StaticChain, n_streams: int,
         pdm_rng=rng,
         pdm_fade=(zi(B) if pdm_fade
                   else np.full(B, C.PDM_FADE_IN_SAMPLES, np.int32)),
+        pdm_ena=np.ones(B, np.int32), pdm_run=np.ones(B, np.int32),
+        pdm_fout=zi(B), pdm_base=zi(B),
         clip_flags=zi(B),
         wire_pos=np.int32(0),
     )

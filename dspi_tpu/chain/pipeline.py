@@ -753,18 +753,31 @@ def _q28_kernel_master(static, p, st, bl, br, master_bands,
     has_loud = bool(static.loudness_on)
     has_env = bool(static.leveller_on)
     n_loud = 2 if has_loud else 0
+    # per-stream params (build_params_multi / flat grouped serving) carry
+    # a trailing lane axis on every coefficient: build the per-lane
+    # [.., 5, B] cf layout and the kernel's lane_cf variant runs it
+    lane = p.eq_q28.ndim == 4
     mb = [[t for t in master_bands if t[0] == ch] for ch in range(2)]
     nb = max(len(mb[0]), len(mb[1]))
     ident = jnp.asarray(
         np.array([[C.Q28_ONE, 0, 0, 0, 0]], np.int32))   # exact pass-through
+    if lane:
+        ident = jnp.broadcast_to(ident[..., None], (1, 5, B))
     cf_ch = []
     s_ch = []
     zero = jnp.zeros((B,), jnp.int32)
+    def lane_row(r):
+        """Per-lane mode: a config-uniform row (collapsed by
+        build_params_multi) broadcasts to the [.., 5, B] layout."""
+        if lane and r.ndim == 2:
+            return jnp.broadcast_to(r[..., None], r.shape + (B,))
+        return r
+
     for ch in range(2):
         rows = []
         srows = []
         if has_loud:
-            rows.append(p.loud_qbq)
+            rows.append(lane_row(p.loud_qbq))
             for j in range(2):
                 srows += [st.loud_a[ch, j], st.loud_b[ch, j]]
         for (c, band, _k) in mb[ch]:
@@ -776,7 +789,8 @@ def _q28_kernel_master(static, p, st, bl, br, master_bands,
         if has_env:
             srows.append(st.lev_env[ch])
         cf_ch.append(jnp.concatenate(rows, axis=0) if rows
-                     else jnp.zeros((0, 5), jnp.int32))
+                     else jnp.zeros((0, 5, B) if lane else (0, 5),
+                                    jnp.int32))
         s_ch.append(jnp.stack(srows))
     cf = jnp.stack(cf_ch)
     s0 = jnp.stack(s_ch)
@@ -785,11 +799,15 @@ def _q28_kernel_master(static, p, st, bl, br, master_bands,
         b0, b1 = byp[0], byp[1]
     else:
         b0 = b1 = jnp.int32(0)
-    row = jnp.stack([
-        b0, b1,
-        a_rms_q28 if has_env else jnp.int32(0),
-        one_minus if has_env else jnp.int32(0)])
-    scal = jnp.broadcast_to(row[None], (2, 4))     # same for both channels
+    svals = (b0, b1,
+             a_rms_q28 if has_env else jnp.int32(0),
+             one_minus if has_env else jnp.int32(0))
+    if lane:
+        row = jnp.stack([jnp.broadcast_to(v, (B,)) for v in svals])
+        scal = jnp.broadcast_to(row[None], (2, 4, B))
+    else:
+        row = jnp.stack(svals)
+        scal = jnp.broadcast_to(row[None], (2, 4))  # same for both channels
     y, env_ends, sF = q28_cascades(
         jnp.stack([bl, br]), cf, s0, scal, nb=nb, has_loud=has_loud,
         has_env=has_env, tc=static.block_size,
@@ -819,7 +837,10 @@ def _q28_kernel_outeq(static, p, st, bufs, out_bands):
              for o in live}
     nb = max(len(v) for v in per_o.values())
     B = bufs[live[0]].shape[-1]
+    lane = p.eq_q28.ndim == 4             # per-stream params (see master)
     ident = jnp.asarray(np.array([[C.Q28_ONE, 0, 0, 0, 0]], np.int32))
+    if lane:
+        ident = jnp.broadcast_to(ident[..., None], (1, 5, B))
     zero = jnp.zeros((B,), jnp.int32)
     cf_g, s_g = [], []
     for o in live:
@@ -832,7 +853,8 @@ def _q28_kernel_outeq(static, p, st, bufs, out_bands):
             srows += [zero, zero]
         cf_g.append(jnp.concatenate(rows, axis=0))
         s_g.append(jnp.stack(srows))
-    scal = jnp.zeros((len(live), 4), jnp.int32)
+    scal = jnp.zeros((len(live), 4, B) if lane else (len(live), 4),
+                     jnp.int32)
     y, _, sF = q28_cascades(
         jnp.stack([bufs[o] for o in live]), jnp.stack(cf_g),
         jnp.stack(s_g), scal, nb=nb, tc=static.block_size,

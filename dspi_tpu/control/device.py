@@ -84,8 +84,18 @@ class VirtualDSPi:
 
     def attach_runner(self, runner) -> None:
         """Connect a StreamRunner so buffer statistics and starvation
-        counters report real runtime health instead of static values."""
+        counters report real runtime health instead of static values.
+
+        Also wires the runner's disruption gate to this device's preset
+        mute envelope: while a preset/flash operation holds the mute
+        (``mute_env.loading`` — the ``preset_loading`` analog, set by
+        every PRESET_*/SAVE/LOAD/FACTORY_RESET op and cleared when the
+        hold expires, usb_audio.c:469-476), missed feed deadlines are
+        suppressed from the starvation counters exactly as the firmware
+        masks them (audio_spdif.c:375-378)."""
         self.runner = runner
+        if hasattr(runner, "disruption_source"):
+            runner.disruption_source = lambda: self.mute_env.loading
 
     def packet_gains(self, n_packets: int, block_size: int) -> np.ndarray:
         """Per-packet preset-mute gains for the next segment — pass as
@@ -99,8 +109,16 @@ class VirtualDSPi:
         (main.c:826-976).  Returns True if anything was applied."""
         if not self.dirty:
             return False
+        old_static = getattr(engine, "static", None)
         engine.update_config(self.cfg, preset_load=self._preset_loaded,
                              bit_depth=self.bit_depth)
+        if (self.runner is not None
+                and getattr(engine, "static", None) is not old_static
+                and hasattr(self.runner, "note_disruption")):
+            # structural rebuild: the recompile stall is intentional —
+            # reset the attached runner's feed-deadline clock (the analog
+            # of audio_ring_last_push_us = 0 on lifecycle transitions)
+            self.runner.note_disruption()
         self.dirty = False
         self._preset_loaded = False
         return True

@@ -166,6 +166,11 @@ PDM_LEAKAGE_SHIFT = 16
 PDM_FADE_IN_SHIFT = 10
 PDM_FADE_IN_SAMPLES = 1 << PDM_FADE_IN_SHIFT
 PDM_RNG_SEED = 123456789              # xorshift32 seed (pdm_generator.c:62)
+# The word-stream stand-in for "PDM hardware stopped": the firmware
+# prefills the DMA ring with this 50%-duty idle pattern on every restart
+# (pdm_generator.c:240-241) and the PIO stops shifting after a completed
+# fade-out; samples processed while stopped emit this word.
+PDM_SILENCE_WORD = 0xAAAAAAAA
 # Noise shaper: Butterworth HP fc=8kHz @ 384kHz, Q14 (pdm_generator.c:77-81)
 PDM_NS_B0 = 15778
 PDM_NS_B1 = -31556

@@ -76,6 +76,11 @@ class GoldenDevice:
         self.pdm_ns = dict(x1=0, x2=0, y1=0, y2=0, err_acc=0)
         self.pdm_rng = pdm_seed & 0xFFFFFFFF
         self.pdm_fade_pos = 0 if pdm_fade else C.PDM_FADE_IN_SAMPLES
+        # enable/fade-out state machine (pdm_generator.c:217-252,323-338)
+        self.pdm_ena = True           # pdm_enabled (control-plane flag)
+        self.pdm_run = True           # hw_running
+        self.pdm_fout_pos = 0         # fade_out_pos
+        self.pdm_base = 0             # fade_base_pcm
         # sticky telemetry
         self.peaks = [0] * nch
         self.clip_flags = 0
@@ -364,17 +369,66 @@ class GoldenDevice:
     # PDM delta-sigma modulator
     # ------------------------------------------------------------------
 
+    def pdm_set_enabled(self, enabled: bool) -> None:
+        """Control-plane PDM enable transition — the loop reactions the
+        firmware runs at the next core-1 iteration (pdm_generator.c):
+
+          * disable while running  -> start the 1024-sample fade-out
+            instead of an immediate stop (:225-229)
+          * re-enable mid-fade     -> convert the out-ramp into an
+            in-ramp from the current attenuation (:233-236)
+          * re-enable after a completed stop -> full modulator restart:
+            err/err2/noise-shaper/fades reset; the xorshift32 PRNG is a
+            global in the firmware and persists (:240-255)
+        """
+        if enabled:
+            if self.pdm_fout_pos > 0:
+                self.pdm_fade_pos = C.PDM_FADE_IN_SAMPLES - self.pdm_fout_pos
+                self.pdm_fout_pos = 0
+            elif not self.pdm_run:
+                self.pdm_err = 0
+                self.pdm_err2 = 0
+                self.pdm_ns = dict(x1=0, x2=0, y1=0, y2=0, err_acc=0)
+                self.pdm_fade_pos = 0
+                self.pdm_base = 0
+                self.pdm_run = True
+        else:
+            if self.pdm_run and self.pdm_fout_pos == 0:
+                self.pdm_fout_pos = C.PDM_FADE_IN_SAMPLES
+        self.pdm_ena = bool(enabled)
+
     def _pdm_sample(self, sample: int) -> list[int]:
-        """One PCM sample -> 8 PDM words (pdm_generator.c:349-397)."""
-        pcm = qref.asr(sample, 14)
-        if pcm > C.PDM_CLIP_THRESH:
-            pcm = C.PDM_CLIP_THRESH
-        if pcm < -C.PDM_CLIP_THRESH:
-            pcm = -C.PDM_CLIP_THRESH
-        if self.pdm_fade_pos < C.PDM_FADE_IN_SAMPLES:
-            pcm = qref.asr(qref.w32(pcm * self.pdm_fade_pos), C.PDM_FADE_IN_SHIFT)
-            self.pdm_fade_pos += 1
-        target = qref.w32(pcm + 32768)
+        """One PCM sample -> 8 PDM words (pdm_generator.c:349-397).
+
+        While fading out the input is ignored (core 0 stopped pushing and
+        the ring is drained, :324) and the target ramps the held
+        fade_base_pcm to silence (:326); the iteration where fade_out_pos
+        reaches 0 stops the hardware without modulating (:328-334).
+        Samples processed while stopped emit PDM_SILENCE_WORD (the
+        firmware's restart prefill pattern, :240-241) as the word-stream
+        stand-in for "PIO not shifting"."""
+        if self.pdm_fout_pos > 0:
+            self.pdm_fout_pos -= 1
+            if self.pdm_fout_pos == 0:
+                self.pdm_run = False
+                return [C.PDM_SILENCE_WORD] * C.PDM_CHUNKS
+            target = qref.w32(qref.asr(
+                qref.w32(self.pdm_base * self.pdm_fout_pos),
+                C.PDM_FADE_IN_SHIFT) + 32768)
+        elif not (self.pdm_ena and self.pdm_run):
+            return [C.PDM_SILENCE_WORD] * C.PDM_CHUNKS
+        else:
+            pcm = qref.asr(sample, 14)
+            if pcm > C.PDM_CLIP_THRESH:
+                pcm = C.PDM_CLIP_THRESH
+            if pcm < -C.PDM_CLIP_THRESH:
+                pcm = -C.PDM_CLIP_THRESH
+            if self.pdm_fade_pos < C.PDM_FADE_IN_SAMPLES:
+                pcm = qref.asr(qref.w32(pcm * self.pdm_fade_pos),
+                               C.PDM_FADE_IN_SHIFT)
+                self.pdm_fade_pos += 1
+            self.pdm_base = pcm
+            target = qref.w32(pcm + 32768)
 
         err, err2 = self.pdm_err, self.pdm_err2
         ns = self.pdm_ns

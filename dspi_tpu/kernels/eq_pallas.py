@@ -360,10 +360,20 @@ def q28_cascades(x, cf, s0, scal, *, nb, has_loud=False, has_env=False,
     ``sched`` tuple (e.g. the 44.1 kHz 44/45 cadence) replaces ``tc``
     and switches the envelope to dense emission with a static
     packet-end gather; ``bt`` overrides the stream-tile auto-selection
-    (tests)."""
+    (tests).
+
+    PER-LANE coefficients: cf [G, n_loud+nb, 5, B] (+ scal [G, 4, B])
+    runs the ``lane_cf`` kernel variant directly — every lane carries
+    its own coefficients, the flattened-group serving layout
+    (build_params_multi / GroupedEngine flat mode).  Same band math;
+    coefficient broadcasts become elementwise vector multiplies."""
+    lane = cf.ndim == 4
+    if lane:
+        g_, nr_, _, b_ = cf.shape
+        cf = cf.reshape(g_, nr_ * 5, b_)
     res = _core(nb, bool(has_loud), bool(has_env), tc,
                 tuple(sched) if sched else None, bt,
-                bool(interpret))(x, cf, s0, scal)
+                bool(interpret), lane_cf=lane)(x, cf, s0, scal)
     if has_env:
         y, env_ends, s_final = res
         return y, env_ends, s_final

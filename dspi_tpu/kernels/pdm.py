@@ -101,6 +101,75 @@ def _targets(x, fade0):
     return pcm + 32768, fade
 
 
+def mode_prologue(state):
+    """Segment-start enable/fade-out loop reactions, vectorized over [B]
+    (pdm_generator.c:225-255; the firmware runs these at the top of the
+    core-1 loop, which for the segment model is the segment boundary —
+    the control plane only flips ``pdm_ena`` between segments):
+
+      * disable while running -> start the 1024-sample fade-out (:226-229)
+      * re-enable mid-fade    -> out-ramp becomes an in-ramp (:233-236)
+      * re-enable after stop  -> modulator restart: err/err2/noise shaper/
+        fades/base reset; the xorshift32 PRNG is a firmware global and
+        persists (:240-252)
+    """
+    ena = state.pdm_ena != 0
+    run = state.pdm_run != 0
+    fout = state.pdm_fout
+    fout = jnp.where(~ena & run & (fout == 0),
+                     jnp.int32(C.PDM_FADE_IN_SAMPLES), fout)
+    cancel = ena & (fout > 0)
+    fade = jnp.where(cancel, C.PDM_FADE_IN_SAMPLES - fout, state.pdm_fade)
+    fout = jnp.where(cancel, 0, fout)
+    restart = ena & ~run
+    z = jnp.int32(0)
+    return state._replace(
+        pdm_err=jnp.where(restart, z, state.pdm_err),
+        pdm_err2=jnp.where(restart, z, state.pdm_err2),
+        pdm_ns=jnp.where(restart[None, :], z, state.pdm_ns),
+        pdm_fade=jnp.where(restart, z, fade),
+        pdm_base=jnp.where(restart, z, state.pdm_base),
+        pdm_fout=jnp.where(restart, z, fout),
+        pdm_run=(run | ena).astype(jnp.int32))
+
+
+def _mode_targets(state, x):
+    """Per-sample targets + active mask over a whole segment, closed form
+    (the scan-lowering analog of the firmware's per-sample mode machine,
+    pdm_generator.c:320-364; ``mode_prologue`` must already have run).
+
+    Enabled streams take the fade-in path exactly as ``_targets``; a
+    fading-out stream's sample t modulates target
+    ``(base * m) >> 10 + 32768`` with m = fout0-1-t while m >= 1, the
+    m == 0 slot stops the hardware without modulating (:327-334), and
+    stopped samples are inactive (state frozen, silence words).
+
+    Returns (target [T, B], active bool [T, B], state')."""
+    T = x.shape[0]
+    ena_b = state.pdm_ena != 0
+    ena = ena_b[None, :]
+    t = jnp.arange(T, dtype=jnp.int32)[:, None]
+    pcm = (x >> 14).clip(-C.PDM_CLIP_THRESH, C.PDM_CLIP_THRESH)
+    fade_t = jnp.minimum(state.pdm_fade[None, :] + t, C.PDM_FADE_IN_SAMPLES)
+    pcm = jnp.where(fade_t < C.PDM_FADE_IN_SAMPLES,
+                    (pcm * fade_t) >> C.PDM_FADE_IN_SHIFT, pcm)
+    m = state.pdm_fout[None, :] - 1 - t
+    tgt_out = ((state.pdm_base[None, :] * jnp.maximum(m, 0))
+               >> C.PDM_FADE_IN_SHIFT) + 32768
+    target = jnp.where(ena, pcm + 32768, tgt_out)
+    active = ena | ((state.pdm_run != 0)[None, :] & (m >= 1))
+    state = state._replace(
+        pdm_fade=jnp.where(
+            ena_b, jnp.minimum(state.pdm_fade + T, C.PDM_FADE_IN_SAMPLES),
+            state.pdm_fade),
+        pdm_base=jnp.where(ena_b, pcm[-1], state.pdm_base),
+        pdm_fout=jnp.where(ena_b, 0, jnp.maximum(state.pdm_fout - T, 0)),
+        pdm_run=jnp.where(
+            ena_b, 1,
+            ((state.pdm_run != 0) & (state.pdm_fout > T))).astype(jnp.int32))
+    return target, active, state
+
+
 def _chunk_unrolled(err, err2, dither, target):
     """One 32-bit chunk (pdm_generator.c:367-380 op shape).
     Returns (err', err2', word)."""
@@ -164,6 +233,27 @@ def _sample_fori(carry, xs):
     return (err, err2, ns, rng), words
 
 
+def _masked(body):
+    """Wrap a sample body with the active mask: inactive samples (hardware
+    stopped / the fade-out's final slot) freeze the modulator state and
+    emit the stopped-hardware silence word (pdm_generator.c:327-334: the
+    stop iteration `continue`s before modulating)."""
+
+    def wrapped(carry, xs):
+        target, act = xs
+        new, words = body(carry, target)
+        err, err2, ns, rng = carry
+        nerr, nerr2, nns, nrng = new
+        carry2 = (jnp.where(act, nerr, err), jnp.where(act, nerr2, err2),
+                  tuple(jnp.where(act, n, o) for n, o in zip(nns, ns)),
+                  jnp.where(act, nrng, rng))
+        words = jnp.where(act[None, :], words,
+                          jnp.uint32(C.PDM_SILENCE_WORD))
+        return carry2, words
+
+    return wrapped
+
+
 def _pallas_worthwhile(ttot: int, b: int) -> bool:
     """Use the Mosaic kernel when its padded-tile effective throughput
     beats the XLA scan lowering (~2.4k x RT, flat in B on v5e).  Small
@@ -192,8 +282,19 @@ def pdm_segment(state, x, unroll: int = 1, impl: str = "auto"):
 
     ``state`` is a ChainState (only the pdm_* fields are used/updated).
     ``x``: int32 [T, B] Q28 samples.  Returns (state', words uint32 [T,8,B]).
+
+    When the state carries the enable/fade-out machine (``pdm_ena`` is
+    not None — every ``init_state`` chain does), the firmware's
+    enable/disable state machine runs: segment-start loop reactions
+    (``mode_prologue``), per-sample fade-out / stop / restart semantics,
+    frozen state + silence words while the hardware is stopped.  States
+    without the fields (legacy checkpoints, microbenches) take the
+    always-enabled fast path.
     """
     impl = resolve_impl(impl)
+    dyn = getattr(state, "pdm_ena", None) is not None
+    if dyn:
+        state = mode_prologue(state)
     if impl == "pallas":
         if _pallas_worthwhile(x.shape[0], x.shape[1]):
             from .pdm_pallas import (pack_pdm_state, pdm_words_flat,
@@ -201,12 +302,18 @@ def pdm_segment(state, x, unroll: int = 1, impl: str = "auto"):
             words, s16 = pdm_words_flat(x, pack_pdm_state(state))
             return unpack_pdm_state(state, s16), words
         impl = "unrolled"
-    target, fade = _targets(x, state.pdm_fade)
     body = _sample_fori if impl == "fori" else _sample_unrolled
     ns0 = tuple(state.pdm_ns[i] for i in range(5))
     carry0 = (state.pdm_err, state.pdm_err2, ns0, state.pdm_rng)
-    (err, err2, ns, rng), words = lax.scan(body, carry0, target,
-                                           unroll=unroll)
+    if dyn:
+        target, active, state = _mode_targets(state, x)
+        (err, err2, ns, rng), words = lax.scan(
+            _masked(body), carry0, (target, active), unroll=unroll)
+    else:
+        target, fade = _targets(x, state.pdm_fade)
+        (err, err2, ns, rng), words = lax.scan(body, carry0, target,
+                                               unroll=unroll)
+        state = state._replace(pdm_fade=fade)
     state = state._replace(pdm_err=err, pdm_err2=err2, pdm_ns=jnp.stack(ns),
-                           pdm_rng=rng, pdm_fade=fade)
+                           pdm_rng=rng)
     return state, words

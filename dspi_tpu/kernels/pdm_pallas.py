@@ -13,7 +13,17 @@ and flushes it once per stream tile.
 
 State layout: int32 [16, B] rows:
   0 err, 1 err2, 2 ns_x1, 3 ns_x2, 4 ns_y1, 5 ns_y2, 6 ns_acc,
-  7 rng (uint32 bits), 8 fade, 9..15 padding (sublane alignment).
+  7 rng (uint32 bits), 8 fade_in_pos, 9 pdm_enabled, 10 hw_running,
+  11 fade_out_pos, 12 fade_base_pcm, 13..15 padding (sublane alignment).
+
+Rows 9-12 are the enable/fade-out machine (pdm_generator.c:217-252,
+323-338): segment-start transitions (kernels.pdm.mode_prologue) run
+outside the kernel; the per-sample reactions — fade-out countdown from
+the held fade_base_pcm, the hardware stop at count 0, frozen modulator
+state + silence words while stopped — run in-kernel.  States packed
+without the machine get (ena=1, run=1, fout=0, base=0), for which every
+mode op selects the original value — bit-identical to the pre-machine
+kernel.
 """
 
 from __future__ import annotations
@@ -33,7 +43,12 @@ _SRL = lax.shift_right_logical
 _SRA = lax.shift_right_arithmetic
 
 
-def _modulate_sample(x_t, err, err2, x1, x2, y1, y2, acc, rng, fade):
+# np scalar, not jnp: a traced constant would be captured by the kernel
+_SILENCE = np.int32(np.uint32(C.PDM_SILENCE_WORD))
+
+
+def _modulate_sample(x_t, err, err2, x1, x2, y1, y2, acc, rng, fade,
+                     ena, run, fout, base):
     """One PCM sample -> 8 words.  Exact firmware arithmetic on int32.
 
     The bit loop is an 8-op/bit rewrite of pdm_generator.c:367-380 (the
@@ -55,11 +70,25 @@ def _modulate_sample(x_t, err, err2, x1, x2, y1, y2, acc, rng, fade):
     with word = u - 1 and err2 = e2d - dither recovered at chunk end.
     Bit-exactness vs the scan lowering is asserted by tests/test_pdm_impls.
     """
+    # per-sample enable/fade-out machine (pdm_generator.c:320-364);
+    # fade_out_pos decrements first, the m == 0 slot stops the hardware
+    # without modulating (:327-334), and the target during fade-out ramps
+    # the held fade_base_pcm (:326), input ignored (ring drained, :324)
+    enab = ena != 0
+    fading_out = jnp.logical_and(jnp.logical_not(enab), fout > 0)
+    fout = jnp.where(fading_out, fout - 1, fout)
+    run = jnp.where(jnp.logical_and(fading_out, fout == 0),
+                    jnp.zeros_like(run), run)
+    act = jnp.logical_or(enab, jnp.logical_and(fading_out, fout >= 1))
+    keep = (err, err2, x1, x2, y1, y2, acc, rng)
+
     pcm = jnp.clip(_SRA(x_t, 14), -C.PDM_CLIP_THRESH, C.PDM_CLIP_THRESH)
     fading = fade < C.PDM_FADE_IN_SAMPLES
     pcm = jnp.where(fading, _SRA(pcm * fade, C.PDM_FADE_IN_SHIFT), pcm)
-    fade = jnp.where(fading, fade + 1, fade)
-    target = pcm + 32768
+    fade = jnp.where(jnp.logical_and(enab, fading), fade + 1, fade)
+    base = jnp.where(enab, pcm, base)
+    target = jnp.where(enab, pcm + 32768,
+                       _SRA(base * fout, C.PDM_FADE_IN_SHIFT) + 32768)
     c65 = jnp.int32(65535)
     t65 = target - c65
     errm = err - c65
@@ -91,13 +120,19 @@ def _modulate_sample(x_t, err, err2, x1, x2, y1, y2, acc, rng, fade):
             errm = errm + (t65 + f)
             e2d = e2d + (errm + f)
             u = u + u + m
-        words.append(u - 1)
+        words.append(jnp.where(act, u - 1, _SILENCE))
         err2 = e2d - dither
 
     err = errm + c65
     err = err - _SRA(err, C.PDM_LEAKAGE_SHIFT)
     err2 = err2 - _SRA(err2, C.PDM_LEAKAGE_SHIFT)
-    return words, (err, err2, x1, x2, y1, y2, acc, rng, fade)
+    # inactive samples (stopped hardware / the stop slot) freeze the
+    # modulator; the mode rows (run/fout/fade/base) self-manage above
+    err, err2, x1, x2, y1, y2, acc, rng = (
+        jnp.where(act, n, o)
+        for n, o in zip((err, err2, x1, x2, y1, y2, acc, rng), keep))
+    return words, (err, err2, x1, x2, y1, y2, acc, rng, fade,
+                   ena, run, fout, base)
 
 
 def _pdm_kernel(x_ref, state_ref, words_ref, state_out_ref, *, tc, t_real):
@@ -112,7 +147,7 @@ def _pdm_kernel(x_ref, state_ref, words_ref, state_out_ref, *, tc, t_real):
     def _():
         state_out_ref[:] = state_ref[:]
 
-    st = tuple(state_out_ref[i] for i in range(9))
+    st = tuple(state_out_ref[i] for i in range(13))
 
     def body(i, carry):
         words, carry = _modulate_sample(x_ref[i], *carry)
@@ -169,21 +204,32 @@ def pdm_segment_pallas(x, state16, tc: int = 128, bt: int = 1024,
 
 
 def pack_pdm_state(state) -> jnp.ndarray:
-    """ChainState pdm fields -> int32 [16, B] kernel layout."""
+    """ChainState pdm fields -> int32 [16, B] kernel layout.  States
+    without the enable machine pack the always-enabled identity
+    (ena=1, run=1, fout=0, base=0)."""
     b = state.pdm_err.shape[0]
+    dyn = getattr(state, "pdm_ena", None) is not None
+    ones = jnp.ones((b,), jnp.int32)
+    zero = jnp.zeros((b,), jnp.int32)
     rows = [state.pdm_err, state.pdm_err2,
             state.pdm_ns[0], state.pdm_ns[1], state.pdm_ns[2],
             state.pdm_ns[3], state.pdm_ns[4],
-            state.pdm_rng.astype(jnp.int32), state.pdm_fade]
-    z = jnp.zeros((7, b), jnp.int32)
+            state.pdm_rng.astype(jnp.int32), state.pdm_fade,
+            state.pdm_ena if dyn else ones,
+            state.pdm_run if dyn else ones,
+            state.pdm_fout if dyn else zero,
+            state.pdm_base if dyn else zero]
+    z = jnp.zeros((3, b), jnp.int32)
     return jnp.concatenate([jnp.stack(rows), z], axis=0)
 
 
 def unpack_pdm_state(state, s16):
-    return state._replace(
-        pdm_err=s16[0], pdm_err2=s16[1],
-        pdm_ns=s16[2:7],
-        pdm_rng=s16[7].astype(jnp.uint32), pdm_fade=s16[8])
+    upd = dict(pdm_err=s16[0], pdm_err2=s16[1], pdm_ns=s16[2:7],
+               pdm_rng=s16[7].astype(jnp.uint32), pdm_fade=s16[8])
+    if getattr(state, "pdm_ena", None) is not None:
+        upd.update(pdm_ena=s16[9], pdm_run=s16[10],
+                   pdm_fout=s16[11], pdm_base=s16[12])
+    return state._replace(**upd)
 
 
 def pdm_segment_fast(state, x, tc: int = 128, bt: int = 1024,

@@ -52,25 +52,45 @@ def shard_engine(engine, mesh: Mesh | None = None):
 
     Serves ``Engine`` (state leaves end in ``n_streams``) and
     ``GroupedEngine``/``HeteroServer`` (grouped leaves end in
-    ``streams_per_group``; per-group 1-D leaves of shape [K] replicate —
-    only trailing-lane axes shard).  The lane width must be divisible by
-    the mesh size; HeteroServer's 128-lane bucket alignment guarantees
-    that for any mesh <= 128 chips at serving sizes."""
+    ``streams_per_group``).  Lane leaves are identified BY FIELD NAME
+    (every ChainState field except the scalar ``wire_pos`` is
+    lane-trailing), not by shape coincidence — a per-group [K] leaf can
+    never shard on the wrong axis even when K happens to equal the lane
+    width.  The lane width must be divisible by the mesh size or this
+    raises: HeteroServer's automatic 128-lane bucket alignment usually
+    provides that, but it skips alignment when padding would exceed 25%
+    (e.g. G=134 stays 134) — build the server with
+    ``lane_multiple=len(mesh.devices)`` to make it unconditional."""
     if mesh is None:
         mesh = make_mesh()
     grouped = getattr(engine, "grouped", None)          # HeteroServer
     width = getattr(grouped or engine, "streams_per_group",
                     getattr(engine, "n_streams", None))
+    if width is not None and width % mesh.size != 0:
+        raise ValueError(
+            f"lane width {width} is not divisible by the {mesh.size}-chip "
+            f"mesh; rebuild with lane_multiple={mesh.size} "
+            "(HeteroServer) or pad n_streams to a mesh multiple")
     spec = _shard_last(mesh)
     repl = NamedSharding(mesh, P())
+    state = engine.state
+    non_lane = {"wire_pos"}
 
-    def place_state(x):
+    def place(x, lanes):
         if x is None:
             return None
-        lanes = getattr(x, "ndim", 0) >= 1 and x.shape[-1] == width
         return jax.device_put(x, spec(x) if lanes else repl)
 
-    engine.state = jax.tree.map(place_state, engine.state)
+    if hasattr(state, "_fields"):                        # ChainState
+        engine.state = type(state)(**{
+            f: place(getattr(state, f),
+                     f not in non_lane
+                     and getattr(getattr(state, f), "ndim", 0) >= 1)
+            for f in state._fields})
+    else:                                                # generic pytree
+        engine.state = jax.tree.map(
+            lambda x: place(x, getattr(x, "ndim", 0) >= 1
+                            and x.shape[-1] == width), state)
     engine.params = jax.tree.map(
         lambda x: jax.device_put(x, repl) if x is not None else None,
         engine.params)
@@ -103,6 +123,7 @@ class RunnerStats:
         self.silence_segments = 0
         self.starvations_total = 0
         self.starvations_slot = [0, 0, 0, 0]
+        self.starvations_suppressed = 0
         self.fill_pct = 0
         self.min_fill_pct = 100
         self.max_fill_pct = 0
@@ -117,13 +138,26 @@ class RunnerStats:
         self.min_fill_pct = min(self.min_fill_pct, self.fill_pct)
         self.max_fill_pct = max(self.max_fill_pct, self.fill_pct)
 
-    def record_starvation(self):
+    def record_starvation(self, suppressed: bool = False):
         """One missed feed deadline starves every active slot at once, so
         each slot's counter AND the global total advance per slot — the
         firmware increments spdif_dma_starvations alongside each
         per-instance counter inside every instance's DMA handler
         (audio_spdif.c:368-372), so its total is likewise the sum over
-        instances, n_slots per simultaneous event."""
+        instances, n_slots per simultaneous event.
+
+        ``suppressed``: the miss happened during an intentional disruption
+        (a preset/flash operation) — the firmware masks the counters for
+        that window (audio_spdif.c:375-378 gates on ``preset_loading``,
+        set around every flash op: flash_storage.c:348,776,875,
+        main.c:456; the gap-detected underruns are gated the same way,
+        usb_audio.c:1358).  Suppressed events are still observable in
+        ``starvations_suppressed`` (one per event, not per slot) so the
+        disruption isn't silently invisible — but GET_STATUS totals
+        match firmware behavior."""
+        if suppressed:
+            self.starvations_suppressed += 1
+            return
         for i in range(min(self.n_slots, 4)):
             self.starvations_slot[i] += 1
             self.starvations_total += 1
@@ -177,6 +211,23 @@ class StreamRunner:
         self._t_last_feed: float | None = None
         self._silence_template = None
         self._template_static = getattr(engine, "static", None)
+        # ``preset_loading`` analog: a callable returning True while an
+        # intentional disruption (preset/flash op) is in flight —
+        # VirtualDSPi.attach_runner wires it to its mute envelope.
+        # Starvations in that window are suppressed, not counted
+        # (audio_spdif.c:375-378).
+        self.disruption_source = None
+
+    def note_disruption(self):
+        """Reset the feed-deadline clock across an intentional stall (a
+        structural commit's drain+rebuild, a preset load) — the analog of
+        the firmware zeroing its gap-detection timestamp on stream
+        lifecycle transitions (usb_audio.c as_set_alternate:
+        ``audio_ring_last_push_us = 0``)."""
+        self._t_last_feed = None
+
+    def _disrupted(self) -> bool:
+        return bool(self.disruption_source and self.disruption_source())
 
     def _silence_out(self):
         """A zeroed output segment shaped like the last real one — the
@@ -208,7 +259,11 @@ class StreamRunner:
         now = time.perf_counter()
         if (self.deadline_s is not None and self._t_last_feed is not None
                 and now - self._t_last_feed > self.deadline_s):
-            self.stats.record_starvation()
+            # silence is substituted regardless — the DMA plays the
+            # silence buffer whether or not a preset op is in flight;
+            # only the COUNTERS are gated on preset_loading
+            # (audio_spdif.c:361-378)
+            self.stats.record_starvation(suppressed=self._disrupted())
             sil = self._silence_out()
             if sil is not None:
                 self._inflight.append(sil)
@@ -300,7 +355,11 @@ class ChainedRunner:
         self.stats = RunnerStats(n_slots=n_slots, max_inflight=2)
         self._inflight: list = []
         self._t_last_feed: float | None = None
+        self.disruption_source = None     # see StreamRunner.disruption_source
         self._build()
+
+    note_disruption = StreamRunner.note_disruption
+    _disrupted = StreamRunner._disrupted
 
     def _build(self):
         """(Re)compile the chained batch program against the engine's
@@ -357,6 +416,10 @@ class ChainedRunner:
         if self.engine.static is not self._static:
             self.drain()
             self._build()
+            # the drain+rebuild stall is intentional — don't let the next
+            # feed's gap read as a starvation (the firmware's pipeline
+            # reset runs under preset_loading, main.c:456)
+            self.note_disruption()
         else:
             self._put_params()
 
@@ -371,7 +434,7 @@ class ChainedRunner:
         now = time.perf_counter()
         if (self.deadline_s is not None and self._t_last_feed is not None
                 and now - self._t_last_feed > self.deadline_s):
-            self.stats.record_starvation()
+            self.stats.record_starvation(suppressed=self._disrupted())
         self._t_last_feed = now
 
         if preset_mute is None:

@@ -294,6 +294,72 @@ def test_usb_error_stats_live_and_reset(dev):
     assert dev.get(R.GET_USB_ERROR_STATS) == bytes(24)
 
 
+def test_starvation_suppressed_during_preset_ops(dev):
+    """A preset op mid-serve masks starvation counting for its mute-hold
+    window — the firmware gates the counters on ``preset_loading``
+    (audio_spdif.c:375-378; set by every flash op, flash_storage.c:348,
+    776,875) — while silence substitution still happens; a genuine late
+    feed outside the window still counts."""
+    import time
+
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.runtime.executor import StreamRunner
+
+    eng = Engine(dev.cfg, n_streams=4, pdm=False, unroll=2, emit="reduced")
+    runner = StreamRunner(eng, max_inflight=8, deadline_s=0.003)
+    dev.attach_runner(runner)
+    x = np.zeros((3, 2, 48, 4), np.int32)
+    runner.feed(x)
+
+    dev.set(R.PRESET_SAVE, 0)                     # engages the mute hold
+    assert dev.mute_env.loading                   # preset_loading analog
+    time.sleep(0.02)
+    runner.feed(x)                                # late — but intentional
+    assert runner.stats.starvations_total == 0
+    assert runner.stats.starvations_slot == [0, 0, 0, 0]
+    assert runner.stats.starvations_suppressed == 1
+    # the DMA still plays silence during the gap (audio_spdif.c:361-366:
+    # substitution is unconditional; only the counters are gated)
+    assert runner.stats.silence_segments == 1
+
+    # run the mute hold down (512 samples min) — the envelope clears
+    # loading exactly as usb_audio.c:469-476
+    while dev.mute_env.loading:
+        dev.packet_gains(4, 48)
+    time.sleep(0.02)
+    runner.feed(x)                                # genuine late feed
+    assert runner.stats.starvations_total == runner.stats.n_slots
+    assert runner.stats.starvations_suppressed == 1
+    runner.drain()
+
+
+def test_structural_commit_resets_deadline_clock(dev):
+    """A structural commit's recompile stall must not read as a
+    starvation on the next feed (the firmware resets its gap-detection
+    timestamp on stream lifecycle transitions, as_set_alternate)."""
+    import time
+
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.runtime.executor import StreamRunner
+
+    eng = Engine(dev.cfg, n_streams=4, pdm=False, unroll=2, emit="reduced")
+    runner = StreamRunner(eng, max_inflight=8, deadline_s=0.003)
+    dev.attach_runner(runner)
+    x = np.zeros((3, 2, 48, 4), np.int32)
+    runner.feed(x)
+
+    # enabling a band is structural (band enables live in the static)
+    dev.set(R.SET_EQ_PARAM, 0,
+            struct.pack("<BBBBfff", 0, 0, 1, 0, 1000.0, 1.0, 3.0))
+    old_static = eng.static
+    assert dev.commit(eng)
+    assert eng.static is not old_static
+    time.sleep(0.02)                              # the rebuild stall
+    runner.feed(x)
+    assert runner.stats.starvations_total == 0
+    runner.drain()
+
+
 def test_silence_substitution_on_starvation(dev):
     """A missed feed deadline substitutes a zeroed segment into the output
     stream (audio_spdif.c:361-379), not just a counter bump."""

@@ -19,6 +19,16 @@ def _state(b):
     return ChainState(**st, **other)
 
 
+def _state_dyn(b, fade=None):
+    """State carrying the enable/fade-out machine (init_state layout)."""
+    st = _state(b)._replace(
+        pdm_ena=np.ones(b, np.int32), pdm_run=np.ones(b, np.int32),
+        pdm_fout=np.zeros(b, np.int32), pdm_base=np.zeros(b, np.int32))
+    if fade is not None:
+        st = st._replace(pdm_fade=np.full(b, fade, np.int32))
+    return st
+
+
 def test_fori_equals_unrolled_and_golden(rng):
     T, B = 96, 4
     x = rng.integers(-(1 << 27), 1 << 27, size=(T, B)).astype(np.int32)
@@ -41,6 +51,192 @@ def test_fori_equals_unrolled_and_golden(rng):
     np.testing.assert_array_equal(words[:, :, 0].reshape(-1),
                                   np.array(want, np.uint32))
     assert int(outs["fori"][4][0]) == T        # fade counter advanced
+
+
+def _golden_words(g, x, enables):
+    """Drive GoldenDevice through per-segment enable flips; x: [nseg, T]."""
+    want = []
+    for seg, ena in zip(x, enables):
+        g.pdm_set_enabled(bool(ena))
+        for v in seg:
+            want.extend(g._pdm_sample(int(v)))
+    return np.array(want, np.uint32)
+
+
+def _jit_pdm(impl):
+    """Cached jit of pdm_segment so multi-segment tests compile once."""
+    import functools
+
+    import jax
+
+    return jax.jit(functools.partial(pdm_segment, impl=impl))
+
+
+def _run_segments(st, x, enables, fn):
+    """pdm_segment over segments with pdm_ena flipped at boundaries —
+    the control plane only writes the flag between segments
+    (Engine.update_config), exactly like the golden driver above."""
+    words = []
+    for seg, ena in zip(x, enables):
+        st = st._replace(pdm_ena=np.full(np.shape(np.asarray(st.pdm_ena)),
+                                         int(ena), np.int32))
+        st, w = fn(st, seg)
+        words.append(np.asarray(w))
+    return st, np.concatenate(words, axis=0)
+
+
+def test_mode_machine_fori_equals_unrolled():
+    """One segment with every machine mode live in different lanes: the
+    two scan lowerings must agree bit-for-bit on words AND machine rows.
+
+    The unrolled leg runs on TPU / DSPI_TEST_SLOW only: XLA:CPU takes
+    2+ minutes to compile the masked 256-wide body (the fori leg is the
+    CPU production lowering anyway, resolve_impl)."""
+    import os
+
+    import jax
+
+    from dspi_tpu.core import constants as C
+
+    impls = ("fori", "unrolled") if (
+        jax.default_backend() == "tpu"
+        or os.environ.get("DSPI_TEST_SLOW")) else ("fori",)
+
+    rng = np.random.default_rng(5)
+    T, B = 96, 8
+    x = rng.integers(-(1 << 27), 1 << 27, size=(T, B)).astype(np.int32)
+    st0 = _state_dyn(B)._replace(
+        # lanes: 0 fading in, 1 steady, 2 freshly disabled, 3 short
+        # fade-out (completes in-segment), 4 long fade-out, 5 stopped,
+        # 6 restart after stop, 7 re-enable mid-fade (cancel)
+        pdm_ena=np.array([1, 1, 0, 0, 0, 0, 1, 1], np.int32),
+        pdm_run=np.array([1, 1, 1, 1, 1, 0, 0, 1], np.int32),
+        pdm_fout=np.array([0, 0, 0, 40, 700, 0, 0, 300], np.int32),
+        pdm_base=np.array([0, 0, 1500, 3000, -2500, 0, 0, 777], np.int32),
+        pdm_fade=np.array([500, 1024, 1024, 1024, 1024, 1024, 7, 123],
+                          np.int32),
+        pdm_err=rng.integers(-9000, 9000, B).astype(np.int32),
+        pdm_err2=rng.integers(-9000, 9000, B).astype(np.int32))
+
+    outs = {}
+    for impl in impls:
+        st, words = pdm_segment(st0, x, impl=impl)
+        outs[impl] = [np.asarray(words)] + [
+            np.asarray(getattr(st, f))
+            for f in ("pdm_err", "pdm_err2", "pdm_ns", "pdm_rng", "pdm_fade",
+                      "pdm_ena", "pdm_run", "pdm_fout", "pdm_base")]
+    if "unrolled" in outs:
+        for a, b in zip(outs["fori"], outs["unrolled"]):
+            np.testing.assert_array_equal(a, b)
+
+    w, _, _, _, _, fade, _, run, fout, _ = outs["fori"]
+    # lane 3: 39 modulated fade samples, stop slot + tail all idle pattern
+    assert (w[40:, :, 3] == np.uint32(C.PDM_SILENCE_WORD)).all()
+    assert (w[:39, :, 3] != np.uint32(C.PDM_SILENCE_WORD)).any()
+    assert run[3] == 0 and fout[3] == 0
+    # lane 4: fade continues into the next segment
+    assert run[4] == 1 and fout[4] == 700 - T
+    # lane 5: stopped all along
+    assert (w[:, :, 5] == np.uint32(C.PDM_SILENCE_WORD)).all()
+    # lane 6: restart reset the fade-in and advanced it T samples
+    assert run[6] == 1 and fade[6] == T
+    # lane 7: cancel converted fout=300 into fade-in from 724
+    assert fout[7] == 0 and fade[7] == 1024 - 300 + T
+
+
+def test_fadeout_stop_restart_golden():
+    """PDM disable runs the firmware's 1024-sample fade-out, the stop
+    slot halts the hardware without modulating, stopped samples emit the
+    idle pattern, and a re-enable after the stop restarts the modulator
+    with the PRNG persisting (pdm_generator.c:217-252,323-338)."""
+    from dspi_tpu.core import constants as C
+
+    rng = np.random.default_rng(7)
+    T, B, nseg = 128, 2, 13
+    x = rng.integers(-(1 << 27), 1 << 27, size=(nseg, T, B)).astype(np.int32)
+    # 2 enabled, 9 disabled (1152 samples: full 1024 fade + stopped
+    # silence), 2 re-enabled (restart: fresh fade-in, reset err, live rng)
+    enables = [1, 1] + [0] * 9 + [1] * 2
+
+    st, words = _run_segments(_state_dyn(B, fade=C.PDM_FADE_IN_SAMPLES),
+                              x, enables, _jit_pdm("fori"))
+
+    g = GoldenDevice(DeviceConfig(platform=Platform.RP2040), pdm_fade=False)
+    want = _golden_words(g, x[:, :, 0], enables)
+    np.testing.assert_array_equal(words[:, :, 0].reshape(-1), want)
+
+    # fade completed inside the window: the disabled tail is pure idle
+    # pattern, state stopped
+    tail = words[(2 + 9) * T - T:(2 + 9) * T]            # last disabled seg
+    assert (tail[:, :, 0] == np.uint32(C.PDM_SILENCE_WORD)).all()
+    # after re-enable: running again, fade-in restarted and advanced 2*T
+    assert np.asarray(st.pdm_run).tolist() == [1, 1]
+    assert np.asarray(st.pdm_fout).tolist() == [0, 0]
+    assert np.asarray(st.pdm_fade).tolist() == [2 * T, 2 * T]
+    assert int(np.asarray(st.pdm_err)[0]) == g.pdm_err
+    assert int(np.asarray(st.pdm_rng)[0]) == g.pdm_rng
+
+
+def test_fadeout_midfade_reenable_golden():
+    """Re-enabling mid-fade converts the out-ramp into an in-ramp from
+    the current attenuation without a modulator reset
+    (pdm_generator.c:233-236)."""
+    from dspi_tpu.core import constants as C
+
+    rng = np.random.default_rng(9)
+    T, B = 64, 2
+    nseg = 1 + 5 + 3       # enabled; 5*64=320 samples into the fade; back on
+    x = rng.integers(-(1 << 27), 1 << 27, size=(nseg, T, B)).astype(np.int32)
+    enables = [1] + [0] * 5 + [1] * 3
+
+    st, words = _run_segments(_state_dyn(B, fade=C.PDM_FADE_IN_SAMPLES),
+                              x, enables, _jit_pdm("fori"))
+    g = GoldenDevice(DeviceConfig(platform=Platform.RP2040), pdm_fade=False)
+    want = _golden_words(g, x[:, :, 0], enables)
+    np.testing.assert_array_equal(words[:, :, 0].reshape(-1), want)
+    # cancelled at fade_out_pos = 1024-320: fade-in resumed from 320 and
+    # ran 3*T more samples; hardware never stopped
+    assert np.asarray(st.pdm_run).tolist() == [1, 1]
+    assert np.asarray(st.pdm_fade).tolist() == [320 + 3 * T] * 2
+    assert int(np.asarray(st.pdm_err)[0]) == g.pdm_err
+
+
+def test_engine_pdm_disable_keeps_stage_and_fades():
+    """A runtime sub-output disable keeps the PDM stage compiled
+    (Engine.update_config pdm_keep) and flips pdm_ena so the kernels fade
+    out; after the 1024-sample ramp the words are the stopped-hardware
+    idle pattern."""
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.core import constants as C
+
+    cfg = DeviceConfig()
+    cfg.outputs[-1].enabled = True                # sub output drives PDM
+    eng = Engine(cfg, n_streams=2, pdm_fade=False, mxu=False)
+    assert eng.static.pdm_on
+    rng = np.random.default_rng(3)
+    x = rng.integers(-(1 << 23), 1 << 23,
+                     size=(2, 2, eng.static.block_size, 2)).astype(np.int32)
+    eng.process(x)
+
+    # the control plane mutates the shared config in place (device.py)
+    cfg.outputs[-1].enabled = False
+    eng.update_config(cfg)
+    assert eng.static.pdm_on                      # stage kept for the fade
+    assert (np.asarray(eng.state.pdm_ena) == 0).all()
+    # 1024-sample fade-out: run ceil(1024/(2*T)) + 1 segments
+    seg_samples = 2 * eng.static.block_size
+    for _ in range(C.PDM_FADE_IN_SAMPLES // seg_samples + 2):
+        out = eng.process(x)
+    assert (np.asarray(out["pdm"]) == np.uint32(
+        C.PDM_SILENCE_WORD)).all()
+    assert (np.asarray(eng.state.pdm_run) == 0).all()
+
+    # re-enable: restart, real words again
+    cfg.outputs[-1].enabled = True
+    eng.update_config(cfg)
+    out = eng.process(x)
+    assert (np.asarray(out["pdm"]) != np.uint32(
+        C.PDM_SILENCE_WORD)).any()
 
 
 def test_pallas_tile_selection():
