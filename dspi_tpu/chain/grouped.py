@@ -1,18 +1,28 @@
 """Grouped heterogeneous serving: K configs x G streams as one program.
 
 The firmware serves exactly one configuration; batched serving wants many.
-Two mechanisms exist:
+Two lowerings exist, selected by ``layout``:
 
-  * per-stream parameters (``build_params_multi``): every stream can carry
-    its own coefficients, but the trailing stream axis forces the scan
-    path — the MXU block matrices would need per-stream weights;
-  * THIS module: K distinct configs, each driving its own group of
-    ``streams_per_group`` parallel streams.  Params and state get a
-    leading group axis and the segment processor is ``jax.vmap``-ed over
-    it, so the block-state-space matmuls (chain/mxu.py) batch across
-    groups and heterogeneous serving runs at the homogeneous path's
-    speed.  The Pallas PDM kernel vmaps too (verified bit-identical to
-    per-group runs on v5e).
+  * ``"flat"`` (default for non-MXU statics): the K groups flatten into
+    one K*G-wide lane axis — coefficients become per-lane [B] vectors
+    (``build_params_multi``) and the HOMOGENEOUS pipeline processes all
+    lanes in one call.  No vmapped group axis exists at all, so none of
+    its overheads do either: round-4's grouped Q28 ran 9,552x against
+    homogeneous 11,402x, and the round-5 ablation (probe_group_tax)
+    measured the flat lowering at 10,215x with the identical kernel —
+    the "vmapped-group tax" was the K-axis itself (leading-axis
+    broadcasts and un-fused elementwise stages), not the lane math.
+  * ``"vmap"`` (default for MXU statics): params and state get a leading
+    group axis and the segment processor is ``jax.vmap``-ed over it, so
+    the block-state-space matmuls (chain/mxu.py) batch across groups —
+    per-lane float coefficients would force the scan path, much slower
+    than a vmapped MXU program.
+
+``layout="auto"`` also keeps vmap for two flat-hostile corners: per-lane
+DELAYS (a delay that differs across configs turns the delay ring into a
+[D+T, B] gather per output — measured 27x whole-chain), and
+wire+reduced emit (``wire_sum`` folds over all lanes, so per-group folds
+need the group axis).
 
 All configs must share static structure (band kinds, enables, dynamics
 toggles — everything ``build_static`` compiles in); coefficient-level
@@ -29,7 +39,8 @@ import numpy as np
 
 from ..core import constants as C
 from ..params.design import derive
-from .pack import build_params, build_static, init_state
+from .pack import (build_params, build_params_multi, build_static,
+                   init_state)
 
 
 def _stack_trees(trees):
@@ -54,7 +65,7 @@ class GroupedEngine:
                  bit_depth: int = 16, emit: str = "full", pdm: bool = True,
                  unroll: int = 8, pdm_fade: bool = True,
                  pdm_seed=C.PDM_RNG_SEED, schedule=None, mxu="auto",
-                 wire: bool = False):
+                 wire: bool = False, layout: str = "auto"):
         import jax
 
         from .pipeline import _process_float, _process_q28
@@ -76,24 +87,77 @@ class GroupedEngine:
                 "enables, dynamics toggles); use one Engine per structure "
                 "or build_params_multi for per-stream coefficients")
         self.static = statics[0]
-        # device-resident: steady-state process() calls must not re-upload
-        # the stacked tree every segment
-        self.params = jax.device_put(_stack_trees(
-            [build_params(d, self.static) for d in self.deriveds]))
-        # state is device-resident too: it is far larger than the params
-        # (delay/lookahead rings and PDM state for every stream), and a
-        # host-side copy would be re-uploaded on every process() call —
-        # measured 5x wall on a tunneled v5e at 8x2048 streams
-        self.state = jax.device_put(_stack_trees(
-            [init_state(self.static, streams_per_group, pdm_seed=pdm_seed,
-                        pdm_fade=pdm_fade)
-             for _ in range(self.n_groups)]))
-        raw = functools.partial(
-            _process_float if self.static.is_float else _process_q28,
-            self.static)
-        # _vraw is exposed (pre-jit) so benchmarks can chain segments
-        # on-device inside one outer jit (bench.py methodology)
-        self._vraw = jax.vmap(raw, in_axes=(0, 0, 0, None))
+        if layout == "auto":
+            layout = "vmap" if self.static.mxu else "flat"
+            if layout == "flat" and self.static.wire and emit == "reduced":
+                layout = "vmap"       # wire_sum folds need the group axis
+            if layout == "flat":
+                # uniformity probe (1 lane per config, cheap): a delay
+                # that differs across configs would turn the delay ring
+                # into a [D+T, B] per-output gather — measured 27x
+                # whole-chain (probe_group_tax) — so per-lane delays
+                # keep the vmapped lowering
+                probe = build_params_multi(
+                    self.deriveds, self.static, np.arange(self.n_groups))
+                if getattr(probe.delay_samples, "ndim", 0) > 1:
+                    layout = "vmap"
+        self.layout = layout
+        K, G = self.n_groups, streams_per_group
+        if layout == "flat":
+            # one K*G lane axis; per-lane coefficients, homogeneous chain.
+            # device-resident like the vmap path (tunnel re-upload costs)
+            ids = np.repeat(np.arange(K), G)
+            self.params = jax.device_put(
+                build_params_multi(self.deriveds, self.static, ids))
+            # uniform per-stream fills, so init_state(K*G) is leaf-for-leaf
+            # the lane-axis concatenation of K per-group init_state(G)s
+            self.state = jax.device_put(
+                init_state(self.static, K * G, pdm_seed=pdm_seed,
+                           pdm_fade=pdm_fade))
+            raw = functools.partial(
+                _process_float if self.static.is_float else _process_q28,
+                self.static)
+            # the engine's native segment processor: x [..., K*G] flat
+            # (group lane-blocks contiguous), outputs flat — zero-copy for
+            # callers that hold flat buffers (HeteroServer, benches)
+            self._flat_raw = raw
+            jnp = jax.numpy
+
+            def vraw(params, state, x, pm):
+                """Grouped-contract adapter: x [K, ..., G] in, leading-K
+                outputs — one input transpose + tiny output reshapes."""
+                xf = jnp.moveaxis(x, 0, -2)
+                xf = xf.reshape(xf.shape[:-2] + (K * G,))
+                state, out = raw(params, state, xf, pm)
+
+                def togrp(v):
+                    v = v.reshape(v.shape[:-1] + (K, G))
+                    return jnp.moveaxis(v, -2, 0)
+
+                return state, {k: togrp(v) for k, v in out.items()}
+
+            self._vraw = vraw
+        else:
+            self._flat_raw = None
+            # device-resident: steady-state process() calls must not
+            # re-upload the stacked tree every segment
+            self.params = jax.device_put(_stack_trees(
+                [build_params(d, self.static) for d in self.deriveds]))
+            # state is device-resident too: it is far larger than the
+            # params (delay/lookahead rings and PDM state for every
+            # stream), and a host-side copy would be re-uploaded on every
+            # process() call — measured 5x wall on a tunneled v5e at
+            # 8x2048 streams
+            self.state = jax.device_put(_stack_trees(
+                [init_state(self.static, streams_per_group,
+                            pdm_seed=pdm_seed, pdm_fade=pdm_fade)
+                 for _ in range(self.n_groups)]))
+            raw = functools.partial(
+                _process_float if self.static.is_float else _process_q28,
+                self.static)
+            # _vraw is exposed (pre-jit) so benchmarks can chain segments
+            # on-device inside one outer jit (bench.py methodology)
+            self._vraw = jax.vmap(raw, in_axes=(0, 0, 0, None))
         self._fn = jax.jit(self._vraw, donate_argnums=(1,))
         self._jnp = jax.numpy
 
@@ -111,6 +175,18 @@ class GroupedEngine:
                          wire=bool(self.static.wire))
         if s != self.static:
             raise ValueError("new config changes the static structure")
+        if self.layout == "flat":
+            self.cfgs[k] = cfg
+            self.deriveds[k] = d
+            # rebuild the per-lane tree: leaves that stay config-uniform
+            # keep their collapsed homogeneous shape (a leaf going
+            # uniform<->per-lane retraces the jit once, which is the
+            # correct price — e.g. the first delay divergence pays the
+            # per-lane gather path knowingly)
+            ids = np.repeat(np.arange(self.n_groups), self.streams_per_group)
+            self.params = jax.device_put(
+                build_params_multi(self.deriveds, self.static, ids))
+            return
         new = build_params(d, self.static)
 
         def put(stacked, leaf):
@@ -138,9 +214,21 @@ class GroupedEngine:
 
     @property
     def segment_fn(self):
-        """Pre-jit vmapped segment processor — same contract as
-        ``Engine.segment_fn`` with x carrying the leading group axis."""
+        """Pre-jit segment processor — same contract as
+        ``Engine.segment_fn`` with x carrying the leading group axis
+        (both layouts; the flat layout adapts at one input transpose)."""
         return self._vraw
+
+    @property
+    def flat_segment_fn(self):
+        """Pre-jit FLAT segment processor (layout='flat' only):
+        x [..., K*G] with group lane-blocks contiguous, flat outputs —
+        the engine's native layout, zero group transposes."""
+        if self._flat_raw is None:
+            raise ValueError(
+                "flat_segment_fn requires layout='flat' (this engine "
+                f"lowered as {self.layout!r})")
+        return self._flat_raw
 
 
 class HeteroServer:
@@ -152,7 +240,9 @@ class HeteroServer:
     MXU path: per-stream coefficient axes block the block-matrix
     lowering).  This dispatcher instead *buckets* the streams: a stable
     permutation gathers each config's streams into its own contiguous
-    group, the vmapped GroupedEngine (MXU-capable) processes the groups,
+    group, the GroupedEngine processes the groups (flat per-lane layout
+    for non-MXU statics — the bucket permutation already produces it —
+    or the vmapped MXU-capable layout for float block-matrix chains),
     and the inverse permutation scatters the outputs back to the caller's
     stream order.  Both permutations are single device gathers per
     segment, fused into the same jit as the pipeline.
@@ -222,24 +312,37 @@ class HeteroServer:
 
         from .pipeline import _process_float, _process_q28
 
-        raw = functools.partial(
-            _process_float if self.grouped.static.is_float
-            else _process_q28, self.grouped.static)
-        vmapped = jax.vmap(raw, in_axes=(0, 0, 0, None))
         Kp, Gp = K, G
+        if self.grouped.layout == "flat":
+            # flat engine: the bucket permutation ALREADY produces the
+            # flat [K*G] lane layout (group blocks contiguous), so the
+            # hetero data path is two gathers around the homogeneous
+            # chain — no group transpose/reshape at all
+            flat_raw = self.grouped._flat_raw
 
-        def run(params, state, x, pm, perm, inv):
-            xg = jnp.take(x, perm, axis=-1)
-            xg = jnp.moveaxis(
-                xg.reshape(x.shape[:-1] + (Kp, Gp)), -2, 0)
-            state, out = vmapped(params, state, xg, pm)
+            def run(params, state, x, pm, perm, inv):
+                xg = jnp.take(x, perm, axis=-1)          # [..., K*G]
+                state, out = flat_raw(params, state, xg, pm)
+                return state, {k2: jnp.take(v, inv, axis=-1)
+                               for k2, v in out.items()}
+        else:
+            raw = functools.partial(
+                _process_float if self.grouped.static.is_float
+                else _process_q28, self.grouped.static)
+            vmapped = jax.vmap(raw, in_axes=(0, 0, 0, None))
 
-            def unperm(v):
-                v = jnp.moveaxis(v, 0, -2)               # [..., K, G]
-                v = v.reshape(v.shape[:-2] + (Kp * Gp,))
-                return jnp.take(v, inv, axis=-1)
+            def run(params, state, x, pm, perm, inv):
+                xg = jnp.take(x, perm, axis=-1)
+                xg = jnp.moveaxis(
+                    xg.reshape(x.shape[:-1] + (Kp, Gp)), -2, 0)
+                state, out = vmapped(params, state, xg, pm)
 
-            return state, {k2: unperm(v) for k2, v in out.items()}
+                def unperm(v):
+                    v = jnp.moveaxis(v, 0, -2)           # [..., K, G]
+                    v = v.reshape(v.shape[:-2] + (Kp * Gp,))
+                    return jnp.take(v, inv, axis=-1)
+
+                return state, {k2: unperm(v) for k2, v in out.items()}
 
         self._raw = run                # pre-jit, for chained benchmarks
         self._fn = jax.jit(run, donate_argnums=(1,))

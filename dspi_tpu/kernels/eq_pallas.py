@@ -42,8 +42,12 @@ cascade axis — a pure reshape, since the cascade axis is leading — so
 GroupedEngine / HeteroServer RP2040 serving runs one kernel over K*G
 cascades instead of a batched grid of narrow ones.
 
-Bit-exactness: the kernel reuses the pipeline's band-step code on int32
-lanes; Mosaic int32 mul/shift/and semantics match XLA's, and
+Bit-exactness: the lane_cf variant reuses the pipeline's band-step code
+verbatim; the scalar variant runs the same arithmetic with the
+partial-product splits of loop-invariant coefficients hoisted out of
+the sample loop (``_band_step_ps`` — the identical int32 ops,
+reassociated only across the deterministic ah/al split, so words cannot
+change).  Mosaic int32 mul/shift/and semantics match XLA's, and
 tests/test_eq_pallas.py asserts word equality against the lax.scan
 lowering on the TPU (the CPU suite always takes the scan path).
 """
@@ -62,6 +66,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.qmath import q28_mul
+
+
+def _psplit(c):
+    """Partial-product halves of a Q28 operand (fast_mul_q28's ah/al,
+    dsp_pipeline.c:50-52).  SCALAR mode only: hoisting the splits of
+    loop-invariant per-cascade coefficients out of the sample loop is
+    free (scalar-unit ops) and measured 82.4 -> 79.4 ms at the probe
+    shape; in lane_cf mode the same hoist carries 120 live [bt] vector
+    rows across the loop and measured slower (91.3 vs 88.4 ms), so the
+    lane variant keeps the pipeline's per-mul q28_mul form."""
+    return c >> 16, c & 0xFFFF
+
+
+def _mul_ps(a_hl, bh, bl):
+    """fast_mul_q28 with both operands pre-split: exactly
+    (ah*bh << 4) + ((ah*bl + al*bh) >> 12), int32 wrap, truncating —
+    bit-identical to core.qmath.q28_mul (the split is deterministic)."""
+    ah, al = a_hl
+    return ((ah * bh) << 4) + (((ah * bl) + (al * bh)) >> 12)
+
+
+def _band_step_ps(cfj, s1, s2, xin):
+    """_band_step_q28 with pre-split coefficients and the sample/output
+    splits shared across the five multiplies (xin feeds b0/b1/b2, out
+    feeds a1/a2 — the pipeline form re-splits them per q28_mul)."""
+    xh, xl = _psplit(xin)
+    out = _mul_ps(cfj[0], xh, xl) + s1
+    oh, ol = _psplit(out)
+    s1n = (_mul_ps(cfj[1], xh, xl) - _mul_ps(cfj[3], oh, ol)) + s2
+    s2n = _mul_ps(cfj[2], xh, xl) - _mul_ps(cfj[4], oh, ol)
+    return out, s1n, s2n
 
 
 def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
@@ -83,8 +118,13 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
     vector rows instead of per-cascade scalars (cf_ref [1, nr*5, bt]
     VMEM, scal_ref [1, 4, bt] VMEM) — the grouped/hetero lowering,
     where one wide lane tile spans streams of several configs.  The
-    band math is identical: coefficient broadcasts just become
-    elementwise vector multiplies, which cost the VPU the same."""
+    band math is identical — the pipeline's per-multiply q28_mul form:
+    pre-splitting the [bt] coefficient/sample vectors measured SLOWER
+    either way (hoisted splits 91.3 ms, in-loop shared splits 91.8 ms
+    vs 88.4 ms per-mul at the 8192-lane probe shape — long live ranges
+    lose more to vreg scheduling than the saved split ops win), while
+    the scalar path's pre-split loop-invariant coefficients are free
+    scalar-unit ops and measured 82.4 -> 79.4 ms (probe_lane_cf)."""
     from ..chain.pipeline import _band_step_q28, _tdf2_q28_bypassable
 
     if has_env:
@@ -100,7 +140,7 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
 
     n_loud = 2 if has_loud else 0
     if lane_cf:
-        # [bt] vector rows, hoisted out of the sample loop
+        # [bt] vector rows, unsplit (per-mul q28_mul splits in-loop)
         cf = [tuple(cf_ref[0, j * 5 + k] for k in range(5))
               for j in range(n_loud + nb)]
         if has_loud:
@@ -108,11 +148,13 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
         if has_env:
             a_rms, one_minus = scal_ref[0, 2], scal_ref[0, 3]
     else:
-        cf = cf_ref[0]                                 # [loud+nb, 5]
+        cf = [tuple(_psplit(cf_ref[0, j, k]) for k in range(5))
+              for j in range(n_loud + nb)]
         if has_loud:
             byp = (scal_ref[g, 0] != 0, scal_ref[g, 1] != 0)
         if has_env:
-            a_rms, one_minus = scal_ref[g, 2], scal_ref[g, 3]
+            a_rms = _psplit(scal_ref[g, 2])
+            one_minus = _psplit(scal_ref[g, 3])
 
     rows = 2 * (n_loud + nb) + (1 if has_env else 0)
     carry0 = tuple(s_out_ref[0, r] for r in range(rows))
@@ -122,18 +164,35 @@ def _cascade_block(scal_ref, cf_ref, x_ref, s_ref, *out_refs,
         st = list(carry)
         r = 0
         for j in range(n_loud):
-            cur, (sa, sb) = _tdf2_q28_bypassable(
-                cf[j], (st[r], st[r + 1]), cur, byp[j])
-            st[r], st[r + 1] = sa, sb
+            if lane_cf:
+                cur, (st[r], st[r + 1]) = _tdf2_q28_bypassable(
+                    cf[j], (st[r], st[r + 1]), cur, byp[j])
+            else:
+                out, sa, sb = _band_step_ps(
+                    cf[j], st[r], st[r + 1], cur)
+                # runtime bypass freezes output and state
+                # (usb_audio.c:1022-1031)
+                st[r] = jnp.where(byp[j], st[r], sa)
+                st[r + 1] = jnp.where(byp[j], st[r + 1], sb)
+                cur = jnp.where(byp[j], cur, out)
             r += 2
         for b in range(nb):
-            cur, (sa, sb) = _band_step_q28(
-                cf[n_loud + b], (st[r], st[r + 1]), cur)
-            st[r], st[r + 1] = sa, sb
+            if lane_cf:
+                cur, (st[r], st[r + 1]) = _band_step_q28(
+                    cf[n_loud + b], (st[r], st[r + 1]), cur)
+            else:
+                cur, st[r], st[r + 1] = _band_step_ps(
+                    cf[n_loud + b], st[r], st[r + 1], cur)
             r += 2
         if has_env:
             sq = q28_mul(cur, cur)
-            st[r] = q28_mul(a_rms, st[r]) + q28_mul(one_minus, sq)
+            if lane_cf:
+                st[r] = q28_mul(a_rms, st[r]) + q28_mul(one_minus, sq)
+            else:
+                sh, sl = _psplit(st[r])
+                qh, ql = _psplit(sq)
+                st[r] = (_mul_ps(a_rms, sh, sl)
+                         + _mul_ps(one_minus, qh, ql))
             if env_dense:
                 env_ref[0, i] = st[r]
         y_ref[0, i] = cur

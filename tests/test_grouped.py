@@ -138,3 +138,70 @@ def test_grouped_chained_runner(rng):
                                        err_msg=f)
         else:
             np.testing.assert_array_equal(a, b, err_msg=f)
+
+
+@pytest.mark.parametrize("platform", [Platform.RP2040, Platform.RP2350])
+def test_flat_layout_matches_vmap(rng, platform):
+    """The flat K*G-lane lowering and the vmapped group-axis lowering are
+    the same program: word-equal outputs, segment after segment."""
+    cfgs = _cfgs(platform)
+    x = np.stack([make_input(rng, NPKT, BLOCK, G) for _ in range(K)])
+    flat = GroupedEngine(cfgs, streams_per_group=G, block_size=BLOCK,
+                         unroll=4, mxu=False, layout="flat")
+    vm = GroupedEngine(cfgs, streams_per_group=G, block_size=BLOCK,
+                       unroll=4, mxu=False, layout="vmap")
+    assert flat.layout == "flat" and vm.layout == "vmap"
+    for _seg in range(2):                 # state threads across segments
+        of, ov = flat.process(x), vm.process(x)
+        for key in ("out", "s24", "pdm", "peaks"):
+            if platform is Platform.RP2350 and key != "pdm":
+                # float path: the vmapped scan lets XLA pick different
+                # FMA contractions (see test_grouped_chained_runner)
+                np.testing.assert_allclose(
+                    np.asarray(of[key]), np.asarray(ov[key]),
+                    rtol=1e-6, atol=1e-5, err_msg=key)
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(of[key]), np.asarray(ov[key]),
+                    err_msg=key)
+
+
+def test_flat_update_group_touches_only_its_group(rng):
+    """Coefficient swap in the flat layout: group k's lane block changes,
+    every other lane is word-identical."""
+    cfgs = _cfgs(Platform.RP2040)
+    x = np.stack([make_input(rng, NPKT, BLOCK, G) for _ in range(K)])
+    eng = GroupedEngine(cfgs, streams_per_group=G, block_size=BLOCK,
+                        unroll=4, mxu=False, layout="flat")
+    fresh = GroupedEngine(cfgs, streams_per_group=G, block_size=BLOCK,
+                          unroll=4, mxu=False, layout="flat")
+    eng.process(x)
+    fresh.process(x)
+    c1 = cfgs[1].copy()
+    c1.master_volume_db = -30.0
+    eng.update_group(1, c1)
+    out = np.asarray(eng.process(x)["out"])
+    want = np.asarray(fresh.process(x)["out"])
+    np.testing.assert_array_equal(out[0], want[0])
+    np.testing.assert_array_equal(out[2], want[2])
+    assert np.abs(out[1]).sum() < np.abs(want[1]).sum()
+
+
+def test_auto_layout_policy():
+    """auto lowers non-MXU statics flat; per-lane delays and wire+reduced
+    emit fall back to the vmapped group axis."""
+    cfgs = _cfgs(Platform.RP2040)
+    assert GroupedEngine(cfgs, streams_per_group=G, block_size=BLOCK,
+                         mxu=False).layout == "flat"
+    # a config whose DELAY differs from the others would put the delay
+    # ring on the per-lane gather path (27x whole-chain) — keep vmap
+    cfgs2 = _cfgs(Platform.RP2040)
+    cfgs2[1].outputs[0].delay_ms = 4.0
+    cfgs2[1].sync_delays()
+    assert GroupedEngine(cfgs2, streams_per_group=G, block_size=BLOCK,
+                         mxu=False).layout == "vmap"
+    # wire_sum folds over all lanes: per-group folds need the group axis
+    cfgs3 = _cfgs(Platform.RP2040)
+    assert GroupedEngine(cfgs3, streams_per_group=G, block_size=BLOCK,
+                         mxu=False, wire=True,
+                         emit="reduced").layout == "vmap"
