@@ -41,6 +41,7 @@ per-stream coefficients use the scan path.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -247,19 +248,55 @@ def _linearize(step, T: int, n_in: int, S: int, unroll: int = 8):
     return Y, sF
 
 
+def _pick_xchunk(n: int, per_pkt_bytes: int) -> int:
+    """Packet-chunk length for the hoisted x-response matmuls.
+
+    The input responses (yx [.., Ry, B], vx [.., S, B]) are consumed
+    packet-by-packet by the state scan, so only a chunk of them needs to
+    be live at once: at the 96 kHz 128x96 segment geometry the
+    whole-segment hoist alone was 2 x 6.75 GB and pushed the program past
+    HBM (18.72 needed vs 15.75 GB, RESULTS_r04.md probe_96k).  Chunking
+    bounds the hoist at chunk x per-packet bytes while keeping every
+    input matmul MXU-batched over the chunk; the state recurrence is
+    unchanged (an outer scan over chunks around the same inner scan).
+
+    Returns the largest divisor of ``n`` whose yx+vx footprint fits the
+    budget (``DSPI_MXU_XRESP_MB``, default 1536 MB) — ``n`` itself when
+    the whole segment fits, which keeps the headline 48 kHz shapes on the
+    exact single-level code path.  ``DSPI_MXU_XCHUNK`` forces a chunk
+    length (clamped to the largest divisor <= the forced value; probes
+    use it to measure chunking's neutrality at non-OOM shapes)."""
+    force = os.environ.get("DSPI_MXU_XCHUNK")
+    if force:
+        c = max(1, min(int(force), n))
+        while n % c:
+            c -= 1
+        return c
+    budget = int(os.environ.get("DSPI_MXU_XRESP_MB", "1536")) << 20
+    if n * per_pkt_bytes <= budget:
+        return n
+    best = 1
+    for c in range(2, n):
+        if n % c == 0 and c * per_pkt_bytes <= budget:
+            best = c
+    return best
+
+
 def _apply_blocked(M, Ry, S, x_pkts, s0):
     """Apply a block matrix per packet with the input part hoisted.
 
     ``w_k = M @ [x_k; s_k]`` would re-run the big input matmul inside the
-    packet scan; instead the input responses for ALL packets run as two
-    large batched matmuls up front, and the scan carries only the [S, B]
-    state through tiny state matmuls — the per-packet data choreography
+    packet scan; instead the input responses run as large batched matmuls
+    up front — whole-segment when they fit, in bounded packet CHUNKS when
+    they would not (_pick_xchunk) — and the scan carries only the [S, B]
+    state through tiny state matmuls; the per-packet data choreography
     (slice/update of [Npkt, ...] buffers inside a while loop) drops away.
 
     M [Ry+S, Cx+S] (shared), _PatM([p, Ry+S, Cx+S]) (periodic schedule),
     or [Npkt, Ry+S, Cx+S] (per-packet, aperiodic schedule);
     x_pkts [Npkt, Cx, B]; s0 [S, B].
     Returns (sF [S, B], y [Npkt, Ry, B])."""
+    B = x_pkts.shape[-1]
     if isinstance(M, _PatM):
         Mp = M.M                                    # [p, R, C]
         p = Mp.shape[0]
@@ -267,9 +304,7 @@ def _apply_blocked(M, Ry, S, x_pkts, s0):
         Cx = Mp.shape[-1] - S
         Tx, U = Mp[:, :Ry, :Cx], Mp[:, :Ry, Cx:]
         V, W = Mp[:, Ry:, :Cx], Mp[:, Ry:, Cx:]
-        xg = x_pkts.reshape(Npkt // p, p, Cx, -1)
-        yx = jnp.einsum("qij,nqjb->nqib", Tx, xg, precision=_HI)
-        vx = jnp.einsum("qsj,nqjb->nqsb", V, xg, precision=_HI)
+        n_g = Npkt // p
 
         # scan over pattern GROUPS: the p state matmuls unroll inside the
         # body with U[j]/W[j] as constants — p x fewer scan steps, no
@@ -282,28 +317,71 @@ def _apply_blocked(M, Ry, S, x_pkts, s0):
                 s = vx_g[j] + jnp.matmul(W[j], s, precision=_HI)
             return s, jnp.stack(ys)
 
-        sF, y = lax.scan(gbody, s0, (yx, vx))
-        return sF, y.reshape(Npkt, Ry, -1)
+        def resp(xg):                                # [.., p, Cx, B]
+            return (jnp.einsum("qij,nqjb->nqib", Tx, xg, precision=_HI),
+                    jnp.einsum("qsj,nqjb->nqsb", V, xg, precision=_HI))
+
+        cg = _pick_xchunk(n_g, p * (Ry + S) * B * 4)
+        if cg == n_g:
+            sF, y = lax.scan(gbody, s0,
+                             resp(x_pkts.reshape(n_g, p, Cx, B)))
+        else:
+            def cbody(s, x_c):
+                return lax.scan(gbody, s, resp(x_c))
+
+            sF, y = lax.scan(cbody, s0,
+                             x_pkts.reshape(n_g // cg, cg, p, Cx, B))
+        return sF, y.reshape(Npkt, Ry, B)
 
     seq = M.ndim == 3
     Cx = M.shape[-1] - S
     Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
     V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
-    pre = "p" if seq else ""
-    yx = jnp.einsum(f"{pre}ij,pjb->pib", Tx, x_pkts, precision=_HI)
-    vx = jnp.einsum(f"{pre}sj,pjb->psb", V, x_pkts, precision=_HI)
-    xs = (yx, vx, U, W) if seq else (yx, vx)
+    N = x_pkts.shape[0]
+    cn = _pick_xchunk(N, (Ry + S) * B * 4)
 
-    def body(s, xk):
-        if seq:
-            yx_k, vx_k, U_k, W_k = xk
-        else:
-            (yx_k, vx_k), U_k, W_k = xk, U, W
+    def body_shared(s, xk):
+        yx_k, vx_k = xk
+        y = yx_k + jnp.matmul(U, s, precision=_HI)
+        return vx_k + jnp.matmul(W, s, precision=_HI), y
+
+    def body_seq(s, xk):
+        yx_k, vx_k, U_k, W_k = xk
         y = yx_k + jnp.matmul(U_k, s, precision=_HI)
         return vx_k + jnp.matmul(W_k, s, precision=_HI), y
 
-    sF, y = lax.scan(body, s0, xs)
-    return sF, y
+    if seq:
+        def resp(x_c, Tx_c, V_c):                    # per-packet matrices
+            return (jnp.einsum("pij,pjb->pib", Tx_c, x_c, precision=_HI),
+                    jnp.einsum("psj,pjb->psb", V_c, x_c, precision=_HI))
+
+        if cn == N:
+            yx, vx = resp(x_pkts, Tx, V)
+            return lax.scan(body_seq, s0, (yx, vx, U, W))
+
+        def cbody(s, xk):
+            x_c, Tx_c, V_c, U_c, W_c = xk
+            yx, vx = resp(x_c, Tx_c, V_c)
+            return lax.scan(body_seq, s, (yx, vx, U_c, W_c))
+
+        xs = tuple(v.reshape((N // cn, cn) + v.shape[1:])
+                   for v in (x_pkts, Tx, V, U, W))
+        sF, y = lax.scan(cbody, s0, xs)
+        return sF, y.reshape((N,) + y.shape[2:])
+
+    def resp(x_c):
+        return (jnp.einsum("ij,pjb->pib", Tx, x_c, precision=_HI),
+                jnp.einsum("sj,pjb->psb", V, x_c, precision=_HI))
+
+    if cn == N:
+        return lax.scan(body_shared, s0, resp(x_pkts))
+
+    def cbody(s, x_c):
+        return lax.scan(body_shared, s, resp(x_c))
+
+    sF, y = lax.scan(cbody, s0,
+                     x_pkts.reshape((N // cn, cn) + x_pkts.shape[1:]))
+    return sF, y.reshape((N,) + y.shape[2:])
 
 
 def _apply_blocked_batched(M, Ry, S, x_pkts, s0):
@@ -312,17 +390,21 @@ def _apply_blocked_batched(M, Ry, S, x_pkts, s0):
     M [G, Ry+S, Cx+S], _PatM([p, G, Ry+S, Cx+S]) (periodic schedule), or
     per-packet [Npkt, G, Ry+S, Cx+S];
     x_pkts [Npkt, G, Cx, B]; s0 [G, S, B].
-    Returns (sF [G, S, B], y [Npkt, G, Ry, B])."""
+    Returns (sF [G, S, B], y [Npkt, G, Ry, B]).
+
+    The x-response hoist chunks exactly like _apply_blocked — this is
+    the variant that OOMed the 96 kHz 128x96 geometry (its yx/vx were
+    the [128, 9, 96, 16384] 2 x 6.75 GB buffers)."""
+    B = x_pkts.shape[-1]
+    G = x_pkts.shape[1]
     if isinstance(M, _PatM):
         Mp = M.M                                    # [p, G, R, C]
         p = Mp.shape[0]
-        Npkt, G = x_pkts.shape[:2]
+        Npkt = x_pkts.shape[0]
         Cx = Mp.shape[-1] - S
         Tx, U = Mp[..., :Ry, :Cx], Mp[..., :Ry, Cx:]
         V, W = Mp[..., Ry:, :Cx], Mp[..., Ry:, Cx:]
-        xg = x_pkts.reshape((Npkt // p, p) + x_pkts.shape[1:])
-        yx = jnp.einsum("qgij,nqgjb->nqgib", Tx, xg, precision=_HI)
-        vx = jnp.einsum("qgsj,nqgjb->nqgsb", V, xg, precision=_HI)
+        n_g = Npkt // p
 
         def gbody(s, xk):
             yx_g, vx_g = xk                          # [p, G, Ry|S, B]
@@ -334,28 +416,78 @@ def _apply_blocked_batched(M, Ry, S, x_pkts, s0):
                     "gst,gtb->gsb", W[j], s, precision=_HI)
             return s, jnp.stack(ys)
 
-        sF, y = lax.scan(gbody, s0, (yx, vx))
-        return sF, y.reshape((Npkt, G, Ry, -1))
+        def resp(xg):                                # [.., p, G, Cx, B]
+            return (jnp.einsum("qgij,nqgjb->nqgib", Tx, xg,
+                               precision=_HI),
+                    jnp.einsum("qgsj,nqgjb->nqgsb", V, xg,
+                               precision=_HI))
+
+        cg = _pick_xchunk(n_g, p * G * (Ry + S) * B * 4)
+        if cg == n_g:
+            sF, y = lax.scan(
+                gbody, s0,
+                resp(x_pkts.reshape((n_g, p) + x_pkts.shape[1:])))
+        else:
+            def cbody(s, x_c):
+                return lax.scan(gbody, s, resp(x_c))
+
+            sF, y = lax.scan(
+                cbody, s0,
+                x_pkts.reshape((n_g // cg, cg, p) + x_pkts.shape[1:]))
+        return sF, y.reshape((Npkt, G, Ry, B))
 
     seq = M.ndim == 4
     Cx = M.shape[-1] - S
     Tx, U = M[..., :Ry, :Cx], M[..., :Ry, Cx:]
     V, W = M[..., Ry:, :Cx], M[..., Ry:, Cx:]
-    pre = "p" if seq else ""
-    yx = jnp.einsum(f"{pre}gij,pgjb->pgib", Tx, x_pkts, precision=_HI)
-    vx = jnp.einsum(f"{pre}gsj,pgjb->pgsb", V, x_pkts, precision=_HI)
-    xs = (yx, vx, U, W) if seq else (yx, vx)
+    N = x_pkts.shape[0]
+    cn = _pick_xchunk(N, G * (Ry + S) * B * 4)
 
-    def body(s, xk):
-        if seq:
-            yx_k, vx_k, U_k, W_k = xk
-        else:
-            (yx_k, vx_k), U_k, W_k = xk, U, W
+    def body_shared(s, xk):
+        yx_k, vx_k = xk
+        y = yx_k + jnp.einsum("gis,gsb->gib", U, s, precision=_HI)
+        return vx_k + jnp.einsum("gst,gtb->gsb", W, s, precision=_HI), y
+
+    def body_seq(s, xk):
+        yx_k, vx_k, U_k, W_k = xk
         y = yx_k + jnp.einsum("gis,gsb->gib", U_k, s, precision=_HI)
-        return vx_k + jnp.einsum("gst,gtb->gsb", W_k, s, precision=_HI), y
+        return (vx_k + jnp.einsum("gst,gtb->gsb", W_k, s, precision=_HI),
+                y)
 
-    sF, y = lax.scan(body, s0, xs)
-    return sF, y
+    if seq:
+        def resp(x_c, Tx_c, V_c):
+            return (jnp.einsum("pgij,pgjb->pgib", Tx_c, x_c,
+                               precision=_HI),
+                    jnp.einsum("pgsj,pgjb->pgsb", V_c, x_c,
+                               precision=_HI))
+
+        if cn == N:
+            yx, vx = resp(x_pkts, Tx, V)
+            return lax.scan(body_seq, s0, (yx, vx, U, W))
+
+        def cbody(s, xk):
+            x_c, Tx_c, V_c, U_c, W_c = xk
+            yx, vx = resp(x_c, Tx_c, V_c)
+            return lax.scan(body_seq, s, (yx, vx, U_c, W_c))
+
+        xs = tuple(v.reshape((N // cn, cn) + v.shape[1:])
+                   for v in (x_pkts, Tx, V, U, W))
+        sF, y = lax.scan(cbody, s0, xs)
+        return sF, y.reshape((N,) + y.shape[2:])
+
+    def resp(x_c):
+        return (jnp.einsum("gij,pgjb->pgib", Tx, x_c, precision=_HI),
+                jnp.einsum("gsj,pgjb->pgsb", V, x_c, precision=_HI))
+
+    if cn == N:
+        return lax.scan(body_shared, s0, resp(x_pkts))
+
+    def cbody(s, x_c):
+        return lax.scan(body_shared, s, resp(x_c))
+
+    sF, y = lax.scan(cbody, s0,
+                     x_pkts.reshape((N // cn, cn) + x_pkts.shape[1:]))
+    return sF, y.reshape((N,) + y.shape[2:])
 
 
 # ----------------------------------------------------------------------------

@@ -150,3 +150,39 @@ def test_mxu_adversarial_high_q_bound(rng):
         eng.process(x)
         outs[mxu] = np.asarray(eng.process(x)["out"])
     assert _rel_rms(outs[True], outs[False]) < 4e-6
+
+
+def test_mxu_xresponse_chunking_matches_whole_segment(rng, monkeypatch):
+    """Chunked x-response hoist (DSPI_MXU_XCHUNK / the HBM budget) is the
+    same program: the input matmuls batch over chunks instead of the
+    whole segment, the state recurrence is untouched.  Covers the
+    uniform, periodic-schedule (44/45 cadence) and batched paths."""
+    import os
+
+    cfg = rich_config(Platform.RP2350)
+    x = make_input(rng, NPKT, BLOCK, 2)
+    sched = ((44,) * 9 + (45,)) * 2                  # periodic _PatM path
+    x_sched = make_input(rng, 1, sum(sched), 2)[0]
+
+    def run(chunk, schedule=None):
+        if chunk:
+            monkeypatch.setenv("DSPI_MXU_XCHUNK", str(chunk))
+        else:
+            monkeypatch.delenv("DSPI_MXU_XCHUNK", raising=False)
+        c = rich_config(Platform.RP2350)
+        eng = Engine(c, n_streams=2, block_size=BLOCK, pdm=False,
+                     mxu=True, unroll=4, schedule=schedule)
+        xs = x if schedule is None else x_sched
+        outs = [np.asarray(eng.process(xs)["out"]) for _ in range(2)]
+        return outs
+
+    want = run(None)
+    got = run(2)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, rtol=2e-6, atol=1e-7)
+
+    want_s = run(None, schedule=sched)
+    got_s = run(1, schedule=sched)                   # n_g=2: chunk the
+    for w, g in zip(want_s, got_s):                  # group axis in half
+        np.testing.assert_allclose(g, w, rtol=2e-6, atol=1e-7)
+    assert "DSPI_MXU_XCHUNK" not in os.environ or True
