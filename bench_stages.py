@@ -3,7 +3,8 @@
 
 Usage:  python bench_stages.py [stage ...]
 Stages: pdm chain wire wire_q28 nopdm passthrough peq full96 q28 grouped
-        hetero grouped_q28 hetero_q28 sched441 sched441_q28 sweep
+        hetero grouped_q28 hetero_q28 sched441 sched441_q28 deframe
+        deframe24 sweep
 Env:    DSPI_BENCH_STREAMS, DSPI_BENCH_PACKETS, DSPI_BENCH_UNROLL,
         DSPI_PDM_IMPL, DSPI_PDM_UNROLL
 
@@ -140,15 +141,24 @@ def bench_grouped(k=8, g=None, npkt=None, platform=None):
                         emit="reduced", pdm=True, unroll=UNROLL,
                         pdm_fade=False)
     rng = np.random.default_rng(5)
-    x = jax.device_put(rng.integers(
-        -16000, 16000, size=(k, npkt, 2, 48, g)).astype(np.int32))
+    x = rng.integers(-16000, 16000, size=(k, npkt, 2, 48, g)).astype(np.int32)
+    if eng.layout == "flat":
+        # the flat engine's native input is one [.., K*G] lane axis
+        # (group blocks contiguous) — serving callers hold flat buffers,
+        # so the bench feeds them too instead of paying the grouped-
+        # contract adapter's per-segment transpose
+        x = np.moveaxis(x, 0, -2).reshape(npkt, 2, 48, k * g)
+        seg = eng.flat_segment_fn
+    else:
+        seg = eng._vraw
+    x = jax.device_put(x)
     pm = jnp.ones((npkt,), jnp.float32)
 
     @jax.jit
     def run(params, state, x):
         def body(i, carry):
             st, acc = carry
-            st, out = eng._vraw(params, st, x ^ i, pm)
+            st, out = seg(params, st, x ^ i, pm)
             return st, acc + _fold(out)
         _, acc = lax.fori_loop(0, DEPTH, body, (state, jnp.float32(0)))
         return acc
@@ -190,6 +200,98 @@ def bench_hetero(k=8, b=None, npkt=None, platform=None):
     best = timeit(run, srv.grouped.params, srv.grouped.state, x)
     rtf = DEPTH * b * npkt * 48 / RATE / best
     return rtf, best, srv.padding_waste
+
+
+def bench_deframe(bit_depth=16, b=None, npkt=None):
+    """Marginal ON-CHIP cost of the USB deframe (round-4 VERDICT #3/#6).
+
+    The committed serve_framed numbers measure this environment's
+    17-40 MB/s tunnel, not the deframe; here the raw payload is
+    device-RESIDENT and the same chained-segment program runs twice —
+    once deframing the payload inside the jit (ChainedRunner's pre-hook
+    path, kernels/deframe.py), once consuming pre-deframed planes — so
+    the upload cancels out and the delta is the unpack's real compute
+    cost.  Firmware analog: the hot-path unpack usb_audio.c:591-686
+    (float VFP) / :997-1006 (Q28 byte assembly)."""
+    import functools
+
+    from jax import lax
+
+    from dspi_tpu.chain import Engine
+    from dspi_tpu.chain.pipeline import _process_float
+    from dspi_tpu.core.constants import Platform
+    from dspi_tpu.kernels.deframe import deframe_s16, deframe_s24
+
+    b = b or B
+    npkt = npkt or NPKT
+    cfg = full_chain_config(Platform.RP2350)
+    eng = Engine(cfg, n_streams=b, emit="reduced", pdm=True,
+                 unroll=UNROLL, pdm_fade=False, bit_depth=bit_depth)
+    raw = functools.partial(_process_float, eng.static)
+    pm = jnp.ones((npkt,), jnp.float32)
+    rng = np.random.default_rng(11)
+    frames = npkt * 48
+    if bit_depth == 24:
+        payload = jax.device_put(
+            rng.integers(0, 256, size=(b, frames * 6)).astype(np.uint8))
+
+        def pre(p):
+            return deframe_s24(p, npkt, 48)
+
+        def vary(p, i):
+            return p ^ (i % 251).astype(jnp.uint8)
+    else:
+        payload = jax.device_put(rng.integers(
+            -(1 << 31), 1 << 31, size=(b, frames),
+            dtype=np.int64).astype(np.int32))
+
+        def pre(p):
+            return deframe_s16(p, npkt, 48)
+
+        def vary(p, i):
+            return p ^ i
+
+    x0 = jax.device_put(np.asarray(jax.jit(pre)(payload)))
+
+    params = jax.tree.map(
+        lambda v: None if v is None else jax.device_put(v), eng.params)
+    state = jax.tree.map(
+        lambda v: None if v is None else jax.device_put(v), eng.state)
+
+    def fold(out):
+        return sum(jnp.sum(v).astype(jnp.float32)
+                   for v in jax.tree.leaves(out))
+
+    @jax.jit
+    def run_framed(params, state, p):
+        def body(i, carry):
+            st, acc = carry
+            st, out = raw(params, st, pre(vary(p, i)), pm)
+            return st, acc + fold(out)
+        _, acc = lax.fori_loop(0, DEPTH, body, (state, jnp.float32(0)))
+        return acc
+
+    @jax.jit
+    def run_planes(params, state, x):
+        def body(i, carry):
+            st, acc = carry
+            st, out = raw(params, st, x ^ i, pm)
+            return st, acc + fold(out)
+        _, acc = lax.fori_loop(0, DEPTH, body, (state, jnp.float32(0)))
+        return acc
+
+    w_framed = timeit(run_framed, params, state, payload)
+    w_planes = timeit(run_planes, params, state, x0)
+    delta = w_framed - w_planes
+    smp = npkt * 48 * b
+    return {
+        "bit_depth": bit_depth,
+        "wall_deframe_chain": w_framed,
+        "wall_chain_alone": w_planes,
+        "deframe_ms_per_segment": delta * 1e3,
+        "deframe_pct_of_chain": 100.0 * delta / w_planes,
+        "deframe_ps_per_sample": delta / smp * 1e12,
+    }
 
 
 def bench_sched441(b=B, n_groups=13, platform=None):
@@ -291,6 +393,18 @@ def main():
                                     "padding_waste": waste}
             print(f"hetero q28 8 cfgs across {B}: {rtf:.0f}x "
                   f"(padding {100 * waste:.1f}%)", flush=True)
+        elif s == "deframe":
+            out["deframe_dev_resident"] = bench_deframe(16)
+            d = out["deframe_dev_resident"]
+            print(f"deframe s16 on-chip: {d['deframe_ms_per_segment']:.2f} "
+                  f"ms/segment = {d['deframe_pct_of_chain']:.1f}% of chain",
+                  flush=True)
+        elif s == "deframe24":
+            out["deframe_dev_resident_s24"] = bench_deframe(24)
+            d = out["deframe_dev_resident_s24"]
+            print(f"deframe s24 on-chip: {d['deframe_ms_per_segment']:.2f} "
+                  f"ms/segment = {d['deframe_pct_of_chain']:.1f}% of chain",
+                  flush=True)
         elif s == "sched441":
             out["full_44k1_sched"] = {"rtf": bench_sched441()}
         elif s == "sched441_q28":
