@@ -33,6 +33,13 @@ planes; covers USB-bytes -> planes -> chain -> wire-words):
   python examples/serve.py 8192 12 --framed       (native host deframe)
   python examples/serve.py 8192 12 --framed-dev   (on-device deframe,
                                                    half the upload bytes)
+The modes COMPOSE: ``--hetero`` takes ``--framed``/``--framed-dev`` and
+``--mesh`` (multi-tenant fleet fed raw USB bytes, sharded over chips),
+and ``--bits24`` switches any mode to the UAC alt-2 24-bit wire format
+(packed s24 payloads through kernels/deframe.py::deframe_s24 or the
+native host data plane):
+  python examples/serve.py 16384 12 --hetero --framed-dev [--mesh]
+  python examples/serve.py 8192 12 --framed-dev --bits24
 """
 
 import struct
@@ -66,9 +73,21 @@ def _trimmed_mean_wall(walls):
     return sum(w) / len(w)
 
 
+def _s24_bytes(rng, lead_shape, frames):
+    """Random s24 LRLR payload bytes (little-endian 3 bytes/sample,
+    2 samples/frame) shaped [*lead_shape, frames*6] — the UAC alt-2
+    24-bit wire layout (usb_audio.c:997-1006)."""
+    s = rng.integers(-(20000 << 8), 20000 << 8,
+                     size=lead_shape + (frames, 2)).astype(np.int32)
+    b = np.stack([s & 0xFF, (s >> 8) & 0xFF, (s >> 16) & 0xFF],
+                 axis=-1).astype(np.uint8)
+    return np.ascontiguousarray(b.reshape(lead_shape + (frames * 6,)))
+
+
 def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
                   npkt: int = 32, block: int = 48, unroll: int = 48,
-                  use_mesh: bool = False, framed: str | None = None):
+                  use_mesh: bool = False, framed: str | None = None,
+                  bits: int = 16):
     from bench import full_chain_config
 
     dev = VirtualDSPi(Platform.RP2350)
@@ -76,7 +95,7 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
 
     eng = Engine(dev.cfg, n_streams=n_streams, block_size=block,
                  emit="reduced", pdm=True, unroll=unroll, pdm_fade=False,
-                 wire=True)
+                 wire=True, bit_depth=bits)
     dev.dirty = False
 
     mesh = None
@@ -90,7 +109,7 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
     pre = None
     if framed == "device":
         from dspi_tpu.kernels.deframe import make_pre
-        pre = make_pre(npkt, block)
+        pre = make_pre(npkt, block, bit_depth=bits)
 
     batch_audio_s = depth * npkt * block / dev.cfg.sample_rate
     runner = ChainedRunner(eng, depth=depth, deadline_s=batch_audio_s,
@@ -115,11 +134,19 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
             # [depth*npkt, 2, block, B] — a pure reshape away from the
             # batch layout) instead of depth calls each paying thread
             # create/join
-            samples = np.ascontiguousarray(rng.integers(
-                -20000, 20000,
-                size=(n_streams, depth * npkt * block * 2),
-                dtype=np.int16))                 # interleaved LRLR frames
-            payload = samples.view(np.uint8)     # [B, depth*npkt*blk*4]
+            if bits == 24:
+                payload = _s24_bytes(rng, (n_streams,),
+                                     depth * npkt * block)
+            else:
+                samples = np.ascontiguousarray(rng.integers(
+                    -20000, 20000,
+                    size=(n_streams, depth * npkt * block * 2),
+                    dtype=np.int16))             # interleaved LRLR frames
+                payload = samples.view(np.uint8)  # [B, depth*npkt*blk*4]
+        elif bits == 24:
+            # device deframe, 24-bit: raw uint8 payload rows per segment
+            payload = _s24_bytes(rng, (depth, n_streams), npkt * block)
+            payload_words = payload                  # [depth, B, frames*6]
         else:
             samples = np.ascontiguousarray(rng.integers(
                 -20000, 20000, size=(depth, n_streams, npkt * block * 2),
@@ -130,7 +157,8 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
         def next_batch():
             t0 = time.perf_counter()
             if framed == "host":
-                xb_ = dn.deframe_batch(payload, depth * npkt, block)
+                xb_ = dn.deframe_batch(payload, depth * npkt, block,
+                                       bit_depth=bits)
                 xb_ = xb_.reshape(depth, npkt, 2, block, n_streams)
             else:
                 xb_ = payload_words
@@ -154,8 +182,9 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
         # feed is a fresh dispatch over it (deployment feeds arrive via
         # DMA, not host numpy — the chip-side work per batch is
         # identical)
+        amp = 20000 << 8 if bits == 24 else 20000
         xb = rng.integers(
-            -20000, 20000,
+            -amp, amp,
             size=(depth, npkt, 2, block, n_streams)).astype(np.int32)
         if mesh is not None:
             from dspi_tpu.runtime.executor import shard_input
@@ -169,6 +198,8 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
     mode = {None: "device wire encode on",
             "host": "native host deframe from USB bytes",
             "device": "on-device deframe from USB bytes"}[framed]
+    if bits == 24:
+        mode += f", {bits}-bit (UAC alt-2)"
     print(f"serving {n_streams} streams, {n_batches} batches of "
           f"{depth} x {npkt} packets ({1000 * batch_audio_s:.0f} ms audio "
           f"per batch), {mode}", flush=True)
@@ -227,14 +258,18 @@ def serve_chained(n_streams: int, n_batches: int, depth: int = 8,
 
 def serve_hetero(n_streams: int, n_batches: int, n_cfgs: int = 8,
                  depth: int = 8, npkt: int = 32, block: int = 48,
-                 unroll: int = 48, use_mesh: bool = False):
+                 unroll: int = 48, use_mesh: bool = False,
+                 framed: str | None = None, bits: int = 16):
     """Multi-tenant serving: n_cfgs distinct device configs scattered
     across n_streams streams in arbitrary order, bucketed onto the
     vmapped pipeline by HeteroServer and chained on device by
     ChainedRunner — one readback per batch, live per-tenant coefficient
     swaps at batch boundaries.  ``use_mesh`` shards the fleet over every
     visible chip (grouped state on its lane axis, bucketing permutes
-    SPMD-partitioned)."""
+    SPMD-partitioned).  ``framed`` composes the firmware-equivalent data
+    plane with the multi-tenant fleet: raw USB payload bytes in the
+    CALLER's stream order, deframed on device (``"device"``) or by the
+    native host data plane (``"host"``) ahead of the bucketing gather."""
     from bench import full_chain_config
     from dspi_tpu.chain.grouped import HeteroServer
 
@@ -254,29 +289,74 @@ def serve_hetero(n_streams: int, n_batches: int, n_cfgs: int = 8,
         from dspi_tpu.runtime.executor import make_mesh, shard_engine
         mesh = make_mesh()
         lane_multiple = len(mesh.devices.ravel())
+    pre = None
+    if framed == "device":
+        from dspi_tpu.kernels.deframe import make_pre
+        pre = make_pre(npkt, block, bit_depth=bits)
     srv = HeteroServer(cfgs, ids, block_size=block, emit="reduced",
                        pdm=True, unroll=unroll, pdm_fade=False,
-                       lane_multiple=lane_multiple)
+                       lane_multiple=lane_multiple, bit_depth=bits)
     if mesh is not None:
         shard_engine(srv, mesh)
         print(f"mesh: {lane_multiple} devices, grouped lane axis sharded",
               flush=True)
     batch_audio_s = depth * npkt * block / cfgs[0].sample_rate
     runner = ChainedRunner(srv, depth=depth, deadline_s=batch_audio_s,
-                           mesh=mesh)
+                           mesh=mesh, pre=pre)
 
     import jax
-    xb = rng.integers(
-        -20000, 20000,
-        size=(depth, npkt, 2, block, n_streams)).astype(np.int32)
-    if mesh is not None:
-        from dspi_tpu.runtime.executor import shard_input
-        xb = shard_input(xb, mesh)
+    if framed:
+        frames = npkt * block
+        if framed == "host":
+            if bits == 24:
+                payload = _s24_bytes(rng, (n_streams,), depth * frames)
+            else:
+                samples = np.ascontiguousarray(rng.integers(
+                    -20000, 20000, size=(n_streams, depth * frames * 2),
+                    dtype=np.int16))
+                payload = samples.view(np.uint8)
+            from dspi_tpu import native as dn
+            xb = dn.deframe_batch(payload, depth * npkt, block,
+                                  bit_depth=bits)
+            xb = xb.reshape(depth, npkt, 2, block, n_streams)
+            if mesh is not None:
+                from dspi_tpu.runtime.executor import shard_input
+                xb = shard_input(xb, mesh)
+            else:
+                xb = jax.device_put(xb)
+        else:
+            if bits == 24:
+                xb = _s24_bytes(rng, (depth, n_streams), frames)
+            else:
+                samples = np.ascontiguousarray(rng.integers(
+                    -20000, 20000, size=(depth, n_streams, frames * 2),
+                    dtype=np.int16))
+                xb = samples.view(np.int32)          # [depth, B, frames]
+            if mesh is not None:
+                # pre= inputs carry the stream axis at -2; the runner
+                # requires the caller to device_put with the right spec
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                xb = jax.device_put(
+                    xb, NamedSharding(mesh, P(None, "streams", None)))
+            else:
+                xb = jax.device_put(xb)
     else:
-        xb = jax.device_put(xb)
+        xb = rng.integers(
+            -20000, 20000,
+            size=(depth, npkt, 2, block, n_streams)).astype(np.int32)
+        if mesh is not None:
+            from dspi_tpu.runtime.executor import shard_input
+            xb = shard_input(xb, mesh)
+        else:
+            xb = jax.device_put(xb)
+    mode = {None: "", "host": ", native host deframe from USB bytes",
+            "device": ", on-device deframe from USB bytes"}[framed]
+    if bits == 24:
+        mode += f" ({bits}-bit)"
     print(f"hetero serving: {n_cfgs} configs scattered over {n_streams} "
           f"streams (padding waste {100 * srv.padding_waste:.1f}%), "
-          f"{n_batches} batches of {depth} x {npkt} packets", flush=True)
+          f"{n_batches} batches of {depth} x {npkt} packets{mode}",
+          flush=True)
 
     walls = []
     for b in range(n_batches):
@@ -367,16 +447,17 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         kw = dict(depth=2, npkt=8, unroll=4)
+    framed = ("device" if "--framed-dev" in sys.argv
+              else "host" if "--framed" in sys.argv else None)
+    bits = 24 if "--bits24" in sys.argv else 16
     if "--interactive" in sys.argv:
         serve_interactive(n_streams, n_batches)
     elif "--hetero" in sys.argv:
-        serve_hetero(n_streams, n_batches,
-                     use_mesh="--mesh" in sys.argv, **kw)
+        serve_hetero(n_streams, n_batches, use_mesh="--mesh" in sys.argv,
+                     framed=framed, bits=bits, **kw)
     else:
-        framed = ("device" if "--framed-dev" in sys.argv
-                  else "host" if "--framed" in sys.argv else None)
-        serve_chained(n_streams, n_batches,
-                      use_mesh="--mesh" in sys.argv, framed=framed, **kw)
+        serve_chained(n_streams, n_batches, use_mesh="--mesh" in sys.argv,
+                      framed=framed, bits=bits, **kw)
 
 
 if __name__ == "__main__":
